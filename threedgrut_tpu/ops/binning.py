@@ -1,0 +1,97 @@
+"""Sort-based tile binning with static shapes (TPU-native).
+
+Replaces the reference's count -> cub::InclusiveSum -> D2H readback ->
+expand -> cub radix sort pipeline (threedgut_tracer/src/gutRenderer.cu:241-421)
+with a fixed-capacity, sync-free XLA program:
+
+1. particles are depth-sorted once ([N] sort, so within-tile order after a
+   *stable* tile sort equals the reference's global-Z order),
+2. (particle, tile) pairs are materialized into a fixed ``max_pairs``
+   buffer via a searchsorted expansion (no scatter, no dynamic shapes);
+   overflow drops the *farthest* particles and is reported as a counter,
+3. per-pair tile culling (gutProjector.cuh:49-78) marks pairs invalid
+   instead of compacting them - invalid pairs sort to the end,
+4. a stable sort by tile id + per-tile ranges via searchsorted.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .ut import TILE_X, TILE_Y, Projection, tile_min_power_response
+
+
+class Binning(NamedTuple):
+    pair_particle: jnp.ndarray  # [P] int32 particle index (cap idx) per pair
+    pair_tile: jnp.ndarray      # [P] int32 tile id; == num_tiles when invalid
+    tile_start: jnp.ndarray     # [T+1] int32 range starts into the pair list
+    num_pairs: jnp.ndarray      # [] int32 valid pairs after culling
+    overflow: jnp.ndarray       # [] int32 pairs dropped due to capacity
+
+
+def bin_particles(proj: Projection, tile_grid, max_pairs: int,
+                  tile_culling: bool = True) -> Binning:
+    """Bin projected particles into per-tile depth-ordered pair lists."""
+    gx, gy = tile_grid
+    num_tiles = gx * gy
+    n = proj.center.shape[0]
+
+    # tile bbox + counts (invalid particles project to empty boxes)
+    inv_tx = 1.0 / TILE_X
+    inv_ty = 1.0 / TILE_Y
+    lo_x = jnp.clip(jnp.floor((proj.center[:, 0] - 0.5 - proj.extent[:, 0]) * inv_tx), 0, gx).astype(jnp.int32)
+    lo_y = jnp.clip(jnp.floor((proj.center[:, 1] - 0.5 - proj.extent[:, 1]) * inv_ty), 0, gy).astype(jnp.int32)
+    hi_x = jnp.clip(jnp.ceil((proj.center[:, 0] - 0.5 + proj.extent[:, 0]) * inv_tx), 0, gx).astype(jnp.int32)
+    hi_y = jnp.clip(jnp.ceil((proj.center[:, 1] - 0.5 + proj.extent[:, 1]) * inv_ty), 0, gy).astype(jnp.int32)
+    width = jnp.maximum(hi_x - lo_x, 0)
+    height = jnp.maximum(hi_y - lo_y, 0)
+    counts = jnp.where(proj.valid, width * height, 0)
+
+    # depth-sort particles so pair emission order == global Z order
+    depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key)              # [N] stable ascending
+    counts_sorted = counts[order]
+    offsets = jnp.cumsum(counts_sorted)          # inclusive
+    total = offsets[-1]
+    excl = offsets - counts_sorted               # exclusive
+
+    # expansion: pair j belongs to sorted particle searchsorted(offsets, j)
+    pair_j = jnp.arange(max_pairs, dtype=jnp.int32)
+    src = jnp.searchsorted(offsets, pair_j, side="right").astype(jnp.int32)
+    src = jnp.minimum(src, n - 1)
+    in_range = pair_j < jnp.minimum(total, max_pairs)
+    rank = pair_j - excl[src]
+    w_src = jnp.maximum(width[order][src], 1)
+    tx = lo_x[order][src] + rank % w_src
+    ty = lo_y[order][src] + rank // w_src
+    pair_particle = order[src]
+    pair_tile = jnp.where(in_range, ty * gx + tx, num_tiles)
+
+    if tile_culling:
+        tile_xy = jnp.stack([tx, ty], axis=-1).astype(jnp.float32)
+        power = tile_min_power_response(
+            tile_xy, proj.conic[pair_particle], proj.opacity[pair_particle],
+            proj.center[pair_particle])
+        max_power = jnp.log(
+            jnp.maximum(proj.opacity[pair_particle], 1e-30) / (1.0 / 255.0))
+        keep = power < max_power
+        pair_tile = jnp.where(in_range & keep, pair_tile, num_tiles)
+
+    # stable sort by tile id; depth order within tile is preserved
+    pair_tile, pair_particle = jax.lax.sort(
+        (pair_tile, pair_particle), num_keys=1, is_stable=True)
+
+    tile_start = jnp.searchsorted(
+        pair_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    num_pairs = jnp.sum((pair_tile < num_tiles).astype(jnp.int32))
+    overflow = jnp.maximum(total - max_pairs, 0)
+    return Binning(pair_particle=pair_particle.astype(jnp.int32),
+                   pair_tile=pair_tile.astype(jnp.int32),
+                   tile_start=tile_start,
+                   num_pairs=num_pairs,
+                   overflow=overflow.astype(jnp.int32))

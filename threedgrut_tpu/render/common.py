@@ -1,0 +1,49 @@
+"""Shared rasterizer configuration and ray utilities."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.cameras import (CameraModel, CameraModelType, fisheye_camera_rays,
+                           pinhole_camera_rays)
+from ..ops.quaternion import quat_to_rotmat
+
+
+@struct.dataclass
+class RasterConfig:
+    """Static rendering configuration (configs/render/3dgut.yaml)."""
+    kernel_degree: int = struct.field(pytree_node=False, default=2)
+    min_response: float = struct.field(pytree_node=False, default=0.0113)
+    min_alpha: float = struct.field(pytree_node=False, default=1.0 / 255.0)
+    max_alpha: float = struct.field(pytree_node=False, default=0.99)
+    min_transmittance: float = struct.field(pytree_node=False, default=1e-4)
+    t_min: float = struct.field(pytree_node=False, default=0.0)
+    t_max: float = struct.field(pytree_node=False, default=1e37)
+    tile_culling: bool = struct.field(pytree_node=False, default=True)
+    k_buffer_size: int = struct.field(pytree_node=False, default=0)
+    max_pairs: int = struct.field(pytree_node=False, default=1 << 21)
+    # compositing chunk length in the Pallas kernel
+    chunk: int = struct.field(pytree_node=False, default=32)
+
+
+def camera_rays_world(cam: CameraModel):
+    """Per-pixel world-space rays through the *start* pose.
+
+    Returns (origins [H,W,3], dirs [H,W,3]). Matches dataset raygen
+    (threedgrut/datasets/utils.py:61-105) + camera_to_world transform.
+    """
+    w, h = cam.resolution
+    if cam.model_type == int(CameraModelType.OPENCV_FISHEYE):
+        o, d = fisheye_camera_rays(w, h, cam.focal, cam.principal,
+                                   cam.radial[:4], cam.max_angle)
+    else:
+        o, d = pinhole_camera_rays(w, h, cam.focal[0], cam.focal[1],
+                                   cam.principal[0], cam.principal[1])
+    # world <- camera: x_w = R^T (x_c - t)
+    rot = quat_to_rotmat(cam.q_start)  # world->camera rotation
+    cam_center = -jnp.einsum("ij,i->j", rot, cam.t_start, precision="highest")
+    d_w = jnp.einsum("ij,hwi->hwj", rot, d, precision="highest")
+    o_w = jnp.broadcast_to(cam_center, d_w.shape) + jnp.einsum(
+        "ij,hwi->hwj", rot, o, precision="highest")
+    return o_w, d_w
