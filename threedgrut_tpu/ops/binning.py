@@ -25,16 +25,27 @@ from .ut import TILE_X, TILE_Y, Projection, tile_min_power_response
 
 
 class Binning(NamedTuple):
-    pair_particle: jnp.ndarray  # [P] int32 particle index (cap idx) per pair
-    pair_tile: jnp.ndarray      # [P] int32 tile id; == num_tiles when invalid
-    tile_start: jnp.ndarray     # [T+1] int32 range starts into the pair list
+    pair_particle: jnp.ndarray  # [P_total] int32 particle idx per slot, -1 pad
+    tile_start: jnp.ndarray     # [T+1] int32 chunk-aligned segment starts
     num_pairs: jnp.ndarray      # [] int32 valid pairs after culling
     overflow: jnp.ndarray       # [] int32 pairs dropped due to capacity
 
 
+def total_pair_slots(max_pairs: int, tile_grid, chunk: int) -> int:
+    """Static capacity of the aligned pair list (worst-case padding)."""
+    return max_pairs + tile_grid[0] * tile_grid[1] * chunk
+
+
 def bin_particles(proj: Projection, tile_grid, max_pairs: int,
-                  tile_culling: bool = True) -> Binning:
-    """Bin projected particles into per-tile depth-ordered pair lists."""
+                  chunk: int = 32, tile_culling: bool = True,
+                  alpha_threshold: float = 1.0 / 255.0) -> Binning:
+    """Bin projected particles into per-tile depth-ordered pair lists.
+
+    Each tile's segment starts at a ``chunk``-aligned offset; padding slots
+    hold particle id -1 so the compositing kernel can stream whole chunks
+    without tile-boundary masking (and the backward can write whole chunk
+    rows of gradients race-free).
+    """
     gx, gy = tile_grid
     num_tiles = gx * gy
     n = proj.center.shape[0]
@@ -76,7 +87,7 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
             tile_xy, proj.conic[pair_particle], proj.opacity[pair_particle],
             proj.center[pair_particle])
         max_power = jnp.log(
-            jnp.maximum(proj.opacity[pair_particle], 1e-30) / (1.0 / 255.0))
+            jnp.maximum(proj.opacity[pair_particle], 1e-30) / alpha_threshold)
         keep = power < max_power
         pair_tile = jnp.where(in_range & keep, pair_tile, num_tiles)
 
@@ -84,14 +95,29 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
     pair_tile, pair_particle = jax.lax.sort(
         (pair_tile, pair_particle), num_keys=1, is_stable=True)
 
-    tile_start = jnp.searchsorted(
+    raw_start = jnp.searchsorted(
         pair_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
+    # chunk-aligned re-layout: tile t occupies
+    # [aligned_start[t], aligned_start[t] + ceil(count_t / chunk) * chunk)
+    counts = raw_start[1:] - raw_start[:-1]                       # [T]
+    padded = ((counts + chunk - 1) // chunk) * chunk
+    aligned_start = jnp.concatenate([
+        jnp.zeros(1, jnp.int32), jnp.cumsum(padded).astype(jnp.int32)])
+
+    p_total = total_pair_slots(max_pairs, tile_grid, chunk)
+    pair_j2 = jnp.arange(pair_tile.shape[0], dtype=jnp.int32)
+    tile_clip = jnp.minimum(pair_tile, num_tiles - 1)
+    rank_in_tile = pair_j2 - raw_start[tile_clip]
+    dest = jnp.where(pair_tile < num_tiles,
+                     aligned_start[tile_clip] + rank_in_tile, p_total)
+    aligned_particle = jnp.full(p_total, -1, jnp.int32).at[dest].set(
+        pair_particle.astype(jnp.int32), mode="drop")
+
     num_pairs = jnp.sum((pair_tile < num_tiles).astype(jnp.int32))
     overflow = jnp.maximum(total - max_pairs, 0)
-    return Binning(pair_particle=pair_particle.astype(jnp.int32),
-                   pair_tile=pair_tile.astype(jnp.int32),
-                   tile_start=tile_start,
+    return Binning(pair_particle=aligned_particle,
+                   tile_start=aligned_start,
                    num_pairs=num_pairs,
                    overflow=overflow.astype(jnp.int32))

@@ -159,7 +159,7 @@ def integrate_hits_scan(alphas: jnp.ndarray, hit_ts: jnp.ndarray,
     def body(carry, xs):
         transmittance, feat_acc, depth_acc, hits = carry
         a, t, f = xs
-        alive = transmittance > min_transmittance
+        alive = transmittance >= min_transmittance
         a = jnp.where(alive, a, 0.0)
         w = a * transmittance
         feat_acc = feat_acc + w[..., None] * f

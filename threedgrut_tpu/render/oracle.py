@@ -48,6 +48,10 @@ def render_oracle(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
     lo, hi = ut_ops.tile_bbox(proj.center, proj.extent, (gx, gy))
 
     ray_o, ray_d = camera_rays_world(cam)
+    # same per-ray AABB t-range clip as the production path
+    from .gut import _ray_aabb, _scene_aabb
+    bb_lo, bb_hi = _scene_aabb(model)
+    tmin, tmax = _ray_aabb(ray_o, ray_d, bb_lo, bb_hi)
 
     positions = model.params.positions[order]
     quats = model.params.rotation[order]
@@ -60,7 +64,7 @@ def render_oracle(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
     opac_o = proj.opacity[order]
     center_o = proj.center[order]
 
-    def render_pixel(o, d, px, py):
+    def render_pixel(o, d, px, py, t_min_ray, t_max_ray):
         tx = px // TILE_X
         ty = py // TILE_Y
 
@@ -81,10 +85,10 @@ def render_oracle(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
                 min_response=raster_cfg.min_response,
                 min_alpha=raster_cfg.min_alpha,
                 max_alpha=raster_cfg.max_alpha)
-            alive = transmittance > raster_cfg.min_transmittance
+            alive = transmittance >= raster_cfg.min_transmittance
             a = jnp.where(in_bbox & valid_o[i] & alive
-                          & (hit.hit_t > raster_cfg.t_min)
-                          & (hit.hit_t < raster_cfg.t_max),
+                          & (hit.hit_t > t_min_ray)
+                          & (hit.hit_t < t_max_ray),
                           hit.alpha, 0.0)
             weight = a * transmittance
             feat = feat + weight * feats_o[i]
@@ -101,7 +105,7 @@ def render_oracle(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
 
     ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     feat, alpha, depth, hits = jax.vmap(jax.vmap(render_pixel))(
-        ray_o, ray_d, xs, ys)
+        ray_o, ray_d, xs, ys, tmin, tmax)
     return {
         "pred_features": feat,
         "pred_opacity": alpha[..., None],
