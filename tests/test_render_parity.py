@@ -12,7 +12,7 @@ from threedgrut_tpu.render.gut import render_gut
 from threedgrut_tpu.render.oracle import render_oracle
 
 UT = UTConfig()
-RC = RasterConfig(max_pairs=1 << 14, chunk=8)
+RC = RasterConfig(max_pairs=1 << 14)
 
 
 class TestRenderParity:
@@ -69,7 +69,7 @@ class TestRenderParity:
 
     def test_overflow_counter(self):
         cam, model = make_test_scene(n=96, res=(64, 48))
-        rc_small = RasterConfig(max_pairs=64, chunk=8)
+        rc_small = RasterConfig(max_pairs=128)
         out = render_gut(cam, UT, rc_small, model, sh_degree=0,
                          interpret=True)
         assert int(out["pairs_overflow"]) > 0

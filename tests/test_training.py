@@ -1,0 +1,119 @@
+"""End-to-end training slice: synthetic views, loss must decrease."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scene_utils import make_test_scene
+from threedgrut_tpu.models.background import BackgroundConfig
+from threedgrut_tpu.models.gaussians import (GaussianModelConfig,
+                                             initialize_from_points)
+from threedgrut_tpu.ops.ut import UTConfig
+from threedgrut_tpu.render.common import RasterConfig
+from threedgrut_tpu.render.gut import render_gut
+from threedgrut_tpu.render.oracle import render_oracle
+from threedgrut_tpu.data.protocols import Batch
+from threedgrut_tpu.train.trainer import (LossConfig, OptimizerConfig,
+                                          Trainer, TrainerConfig,
+                                          camera_from_batch)
+
+RES = (48, 32)
+
+
+class SyntheticDataset:
+    """Renders ground truth from a hidden 'true' scene via the oracle."""
+
+    def __init__(self, n_views=6, seed=0):
+        cam0, self.gt_model = make_test_scene(n=64, seed=seed, res=RES)
+        self.batches = []
+        rng = np.random.default_rng(seed)
+        ut, rc = UTConfig(), RasterConfig(max_pairs=1 << 13)
+        for v in range(n_views):
+            # jitter the camera: small translation
+            t = np.zeros(3, np.float32)
+            t[:2] = rng.uniform(-0.3, 0.3, 2)
+            cam = cam0.replace(t_start=jnp.asarray(t), t_end=jnp.asarray(t))
+            out = render_oracle(cam, ut, rc, self.gt_model, sh_degree=2)
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[:3, 3] = -t  # world-from-camera for identity rotation
+            w, h = RES
+            self.batches.append(Batch(
+                rays_ori=np.zeros((h, w, 3), np.float32),
+                rays_dir=np.zeros((h, w, 3), np.float32),
+                T_to_world=c2w,
+                rgb_gt=np.asarray(jnp.clip(out["pred_features"], 0, 1)),
+                intrinsics=[0.9 * w, 0.9 * w, w / 2, h / 2],
+                frame_idx=v))
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __getitem__(self, i):
+        return self.batches[i]
+
+    def get_scene_extent(self):
+        return 3.0
+
+    def get_observer_points(self):
+        return np.zeros((len(self.batches), 3), np.float32)
+
+
+def make_trainer(strategy="gs", **conf_kw):
+    ds = SyntheticDataset()
+    cfg = GaussianModelConfig(max_sh_degree=2)
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-1.2, 1.2, (96, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(3.0, 5.5, 96)
+    model = initialize_from_points(cfg, pts, capacity=256)
+    conf = TrainerConfig(
+        strategy=strategy,
+        raster=RasterConfig(max_pairs=1 << 13),
+        init_n_features=0, max_n_features=2, increase_frequency=10,
+        **conf_kw)
+    conf.gs = conf.gs.replace(densify_start=5, densify_frequency=8,
+                              densify_end=100, prune_start=5,
+                              prune_frequency=8, prune_end=100,
+                              reset_density_frequency=0)
+    conf.mcmc = conf.mcmc.replace(relocate_start=5, relocate_frequency=8,
+                                  add_start=5, add_frequency=8,
+                                  max_n_gaussians=200)
+    return Trainer(conf, ds, model)
+
+
+class TestTraining:
+    @pytest.mark.parametrize("strategy", ["gs", "mcmc"])
+    def test_loss_decreases(self, strategy):
+        tr = make_trainer(strategy)
+        losses = []
+        for step in range(30):
+            batch = tr.dataset[step % len(tr.dataset)]
+            m = tr.train_iteration(batch)
+            losses.append(m["total"])
+            assert np.isfinite(m["total"]), f"step {step} loss not finite"
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses
+        assert int(tr.model.n_active) > 0
+
+    def test_selective_adam_runs(self):
+        tr = make_trainer("gs", optimizer=OptimizerConfig(
+            type="selective_adam"))
+        for step in range(4):
+            m = tr.train_iteration(tr.dataset[step % len(tr.dataset)])
+            assert np.isfinite(m["total"])
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        tr = make_trainer("gs")
+        for step in range(6):
+            tr.train_iteration(tr.dataset[step % len(tr.dataset)])
+        path = str(tmp_path / "ckpt.npz")
+        tr.save_checkpoint(path)
+        loss_ref = tr.train_iteration(tr.dataset[0])
+
+        tr2 = make_trainer("gs")
+        tr2.load_checkpoint(path)
+        assert tr2.global_step == 6
+        loss_2 = tr2.train_iteration(tr2.dataset[0])
+        # same state -> near-identical next step (rng keys differ slightly
+        # via trainer key stream; background is black so key is unused)
+        np.testing.assert_allclose(loss_2["total"], loss_ref["total"],
+                                   rtol=1e-4)

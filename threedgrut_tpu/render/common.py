@@ -23,8 +23,7 @@ class RasterConfig:
     tile_culling: bool = struct.field(pytree_node=False, default=True)
     k_buffer_size: int = struct.field(pytree_node=False, default=0)
     max_pairs: int = struct.field(pytree_node=False, default=1 << 21)
-    # compositing chunk length in the Pallas kernel
-    chunk: int = struct.field(pytree_node=False, default=32)
+    # max_pairs must stay a multiple of the kernel CHUNK (128)
 
 
 def camera_rays_world(cam: CameraModel):

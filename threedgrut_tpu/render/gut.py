@@ -14,13 +14,14 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..models.gaussians import GaussianState
 from ..ops import binning as binning_ops
 from ..ops import ut as ut_ops
 from ..ops.cameras import CameraModel
-from ..ops.pallas.raster import RECORD_DIM, rasterize_tiles
+from ..ops.pallas.raster import CHUNK, RECORD_DIM, rasterize_tiles
 from ..ops.quaternion import quat_normalize
 from ..ops.sh import eval_sh_radiance
 from ..ops.ut import TILE_X, TILE_Y, UTConfig
@@ -54,31 +55,32 @@ def _ray_aabb(ray_o, ray_d, lo, hi):
 
 
 def pack_rays(ray_o, ray_d, tmin, tmax, grid):
-    """[Hp,Wp,...] pixel arrays -> [T, 8, 256] tile-major ray blocks."""
+    """[Hp,Wp,...] pixel arrays -> [T, 256, 8] tile-major ray blocks."""
     gx, gy = grid
 
-    def tilize(a):  # [Hp,Wp,c] -> [T, c, 256]
+    def tilize(a):  # [Hp,Wp,c] -> [T, 256, c]
         c = a.shape[-1]
         a = a.reshape(gy, TILE_Y, gx, TILE_X, c)
-        return a.transpose(0, 2, 4, 1, 3).reshape(gy * gx, c, TILE_Y * TILE_X)
+        return a.transpose(0, 2, 1, 3, 4).reshape(gy * gx, TILE_Y * TILE_X, c)
 
     return jnp.concatenate([
         tilize(ray_o), tilize(ray_d),
         tilize(tmin[..., None]), tilize(tmax[..., None]),
-    ], axis=1)
+    ], axis=2)
 
 
 def unpack_tiles(out, grid, height, width):
-    """[T, 8, 256] -> [H, W, 8] (cropping padding)."""
+    """[T, 256, 8] -> [H, W, 8] (cropping padding)."""
     gx, gy = grid
-    img = out.reshape(gy, gx, 8, TILE_Y, TILE_X)
-    img = img.transpose(0, 3, 1, 4, 2).reshape(gy * TILE_Y, gx * TILE_X, 8)
+    img = out.reshape(gy, gx, TILE_Y, TILE_X, 8)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(gy * TILE_Y, gx * TILE_X, 8)
     return img[:height, :width]
 
 
 def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
                model: GaussianState, sh_degree: int,
-               rays: Optional[tuple] = None, interpret: bool = False):
+               rays: Optional[tuple] = None,
+               interpret: Optional[bool] = None):
     """Render one view with the 3DGUT pipeline.
 
     Args:
@@ -87,6 +89,10 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         sh_degree: active SH degree (static -> specializes the compile,
             mirroring the reference's compile-time defines).
     """
+    if interpret is None:
+        # Pallas kernels only compile for TPU; CPU (tests, virtual meshes)
+        # runs the interpreter.
+        interpret = jax.default_backend() != "tpu"
     w, h = cam.resolution
     gx = (w + TILE_X - 1) // TILE_X
     gy = (h + TILE_Y - 1) // TILE_Y
@@ -103,11 +109,12 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
     feats = jnp.maximum(feats, 0.0)
 
     b = binning_ops.bin_particles(
-        proj, grid, raster_cfg.max_pairs, chunk=raster_cfg.chunk,
+        proj, grid, raster_cfg.max_pairs, chunk=CHUNK,
         tile_culling=raster_cfg.tile_culling,
         alpha_threshold=ut_cfg.alpha_threshold)
 
-    # pair records (differentiable gather from model params)
+    # pair records (differentiable gather from model params), laid out as
+    # [C, 16, CHUNK] contiguous chunk blocks for single-DMA streaming
     idx = jnp.maximum(b.pair_particle, 0)
     pad_valid = (b.pair_particle >= 0).astype(jnp.float32)[:, None]
     quats = quat_normalize(model.params.rotation)
@@ -120,6 +127,8 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         feats[idx],
         jnp.zeros((p_total, RECORD_DIM - 14), jnp.float32),
     ], axis=1)
+    n_chunks = p_total // CHUNK
+    records = records.reshape(n_chunks, CHUNK, RECORD_DIM).transpose(0, 2, 1)
 
     # rays (padded to the tile grid; padding rays get empty t-ranges)
     if rays is None:
@@ -144,7 +153,7 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
                   raster_cfg.min_alpha, raster_cfg.max_alpha,
                   raster_cfg.min_transmittance)
     out = rasterize_tiles(records, b.tile_start, rays_packed,
-                          raster_cfg.chunk, cfg_static, interpret)
+                          cfg_static, interpret)
 
     img = unpack_tiles(out, grid, h, w)
     return {

@@ -1,0 +1,485 @@
+"""Training session driver (TPU redesign of threedgrut/trainer.py).
+
+One Trainer owns: dataset iteration, the jitted train step (render ->
+losses -> grads -> masked Adam), strategy callbacks (GS or MCMC) between
+steps, LR schedules, checkpointing and validation metrics.
+
+Key behavioral contracts (threedgrut/trainer.py):
+- losses: lambda_l1 * L1 + lambda_ssim * (1 - SSIM) + optional opacity /
+  scale regularizers (trainer.py:677-750),
+- per-group LRs with the positions LR scaled by scene extent
+  (model.py:824-826), exp decay on positions, cosine on features,
+- strategy hooks: post_backward (grad buffer), post_optimizer_step
+  (densify/prune/relocate) (trainer.py:1182-1243),
+- progressive SH degree growth every increase_frequency steps
+  (model.py:886, trainer.py:1240),
+- selective-adam visibility masking (trainer.py:1216-1227).
+
+Everything device-side is a pure jitted function; the Python loop only
+sequences steps and host-side conditions (step schedules).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import background as bg_mod
+from ..models.gaussians import GaussianParams, GaussianState
+from ..ops.cameras import make_pinhole, make_fisheye
+from ..ops.quaternion import quat_to_rotmat
+from ..ops.ssim import psnr, ssim
+from ..ops.ut import UTConfig
+from ..optimizers import adam as adam_mod
+from ..render.common import RasterConfig
+from ..render.gut import render_gut
+from ..strategy import base as strat_base
+from ..strategy import gs as gs_strategy
+from ..strategy import mcmc as mcmc_strategy
+
+
+@dataclasses.dataclass
+class LossConfig:
+    use_l1: bool = True
+    lambda_l1: float = 0.8
+    use_l2: bool = False
+    lambda_l2: float = 1.0
+    use_ssim: bool = True
+    lambda_ssim: float = 0.2
+    use_opacity: bool = False
+    lambda_opacity: float = 0.0
+    use_scale: bool = False
+    lambda_scale: float = 0.0
+
+
+@dataclasses.dataclass
+class OptimizerConfig:
+    """configs/base_gs.yaml optimizer block."""
+    type: str = "adam"  # adam | selective_adam
+    eps: float = 1e-15
+    lr_positions: float = 0.00016
+    lr_density: float = 0.05
+    lr_features_albedo: float = 0.0025
+    lr_features_specular: float = 0.000125
+    lr_features: float = 0.015
+    lr_rotation: float = 0.001
+    lr_scale: float = 0.005
+    # schedulers
+    positions_lr_final: float = 0.0000016
+    positions_max_steps: int = 30000
+    features_decay_final: float = 0.1
+    features_max_steps: int = 30000
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    n_iterations: int = 30000
+    strategy: str = "gs"  # gs | mcmc
+    background: bg_mod.BackgroundConfig = dataclasses.field(
+        default_factory=bg_mod.BackgroundConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    optimizer: OptimizerConfig = dataclasses.field(
+        default_factory=OptimizerConfig)
+    gs: gs_strategy.GSStrategyConfig = dataclasses.field(
+        default_factory=gs_strategy.GSStrategyConfig)
+    mcmc: mcmc_strategy.MCMCStrategyConfig = dataclasses.field(
+        default_factory=mcmc_strategy.MCMCStrategyConfig)
+    ut: UTConfig = dataclasses.field(default_factory=UTConfig)
+    raster: RasterConfig = dataclasses.field(default_factory=RasterConfig)
+    # progressive SH
+    init_n_features: int = 0
+    max_n_features: int = 3
+    increase_frequency: int = 1000
+    increase_step: int = 1
+    val_frequency: int = 5000
+    seed: int = 42
+    print_stats: bool = False
+
+
+def camera_from_batch(batch, ut_cfg: UTConfig) -> Any:
+    """Build a CameraModel from a Batch (T_to_world + intrinsics)."""
+    c2w = np.asarray(batch.T_to_world, np.float64)
+    r_wc = c2w[:3, :3].T
+    t_wc = -r_wc @ c2w[:3, 3]
+    q_wc = _rotmat_to_quat(r_wc)
+    kw = dict(t=t_wc.astype(np.float32), q=q_wc.astype(np.float32))
+    if batch.T_to_world_end is not None:
+        c2we = np.asarray(batch.T_to_world_end, np.float64)
+        r2 = c2we[:3, :3].T
+        kw["t_end"] = (-r2 @ c2we[:3, 3]).astype(np.float32)
+        kw["q_end"] = _rotmat_to_quat(r2).astype(np.float32)
+    w, h = batch.resolution
+    fish = batch.intrinsics_OpenCVFisheyeCameraModelParameters
+    if fish is not None:
+        return make_fisheye((w, h), (fish["fx"], fish["fy"]),
+                            (fish["cx"], fish["cy"]), fish["radial"],
+                            fish.get("max_angle", np.pi / 2), **kw)
+    pin = batch.intrinsics_OpenCVPinholeCameraModelParameters
+    if pin is not None:
+        return make_pinhole((w, h), (pin["fx"], pin["fy"]),
+                            (pin["cx"], pin["cy"]), radial=pin["radial"],
+                            tangential=pin["tangential"],
+                            thin_prism=pin["thin_prism"], **kw)
+    fx, fy, cx, cy = batch.intrinsics
+    return make_pinhole((w, h), (fx, fy), (cx, cy), **kw)
+
+
+def _rotmat_to_quat(r: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> (w,x,y,z) unit quaternion (Shepperd's method)."""
+    t = np.trace(r)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([0.25 * s, (r[2, 1] - r[1, 2]) / s,
+                         (r[0, 2] - r[2, 0]) / s, (r[1, 0] - r[0, 1]) / s])
+    i = int(np.argmax(np.diag(r)))
+    if i == 0:
+        s = np.sqrt(1.0 + r[0, 0] - r[1, 1] - r[2, 2]) * 2
+        q = [(r[2, 1] - r[1, 2]) / s, 0.25 * s,
+             (r[0, 1] + r[1, 0]) / s, (r[0, 2] + r[2, 0]) / s]
+    elif i == 1:
+        s = np.sqrt(1.0 + r[1, 1] - r[0, 0] - r[2, 2]) * 2
+        q = [(r[0, 2] - r[2, 0]) / s, (r[0, 1] + r[1, 0]) / s,
+             0.25 * s, (r[1, 2] + r[2, 1]) / s]
+    else:
+        s = np.sqrt(1.0 + r[2, 2] - r[0, 0] - r[1, 1]) * 2
+        q = [(r[1, 0] - r[0, 1]) / s, (r[0, 2] + r[2, 0]) / s,
+             (r[1, 2] + r[2, 1]) / s, 0.25 * s]
+    q = np.asarray(q)
+    return q / np.linalg.norm(q)
+
+
+class Trainer:
+    """3DGUT training session over a BoundedMultiViewDataset."""
+
+    def __init__(self, conf: TrainerConfig, dataset, model: GaussianState,
+                 val_dataset=None, out_dir: Optional[str] = None):
+        self.conf = conf
+        self.dataset = dataset
+        self.val_dataset = val_dataset
+        self.model = model
+        self.out_dir = out_dir
+        self.scene_extent = float(dataset.get_scene_extent())
+        self.global_step = 0
+        self.key = jax.random.PRNGKey(conf.seed)
+
+        self.opt_state = adam_mod.init_adam_state(self._params_dict())
+        if conf.strategy == "gs":
+            self.gs_buffers = gs_strategy.init_buffers(model.capacity)
+        self.n_active_features = conf.init_n_features
+
+        oc = conf.optimizer
+        self._schedulers = {
+            "positions": adam_mod.exp_scheduler(
+                oc.lr_positions * self.scene_extent,
+                oc.positions_lr_final * self.scene_extent,
+                oc.positions_max_steps),
+            "features": adam_mod.cosine_scheduler(
+                oc.lr_features, oc.lr_features * oc.features_decay_final,
+                oc.features_max_steps),
+        }
+        self._train_step_cache: Dict[Any, Any] = {}
+        self.metrics_history = []
+
+    # ------------------------------------------------------------------
+
+    def _params_dict(self) -> dict:
+        p = self.model.params
+        d = dict(positions=p.positions, rotation=p.rotation, scale=p.scale,
+                 density=p.density)
+        if p.features_albedo is not None:
+            d["features_albedo"] = p.features_albedo
+            d["features_specular"] = p.features_specular
+        if p.features is not None:
+            d["features"] = p.features
+        return d
+
+    def _set_params_dict(self, d: dict):
+        self.model = self.model.replace(
+            params=self.model.params.replace(**d))
+
+    def current_lrs(self) -> Dict[str, float]:
+        oc = self.conf.optimizer
+        lrs = {
+            "positions": self._schedulers["positions"](self.global_step),
+            "rotation": oc.lr_rotation,
+            "scale": oc.lr_scale,
+            "density": oc.lr_density,
+        }
+        if self.model.params.features_albedo is not None:
+            lrs["features_albedo"] = oc.lr_features_albedo
+            lrs["features_specular"] = oc.lr_features_specular
+        if self.model.params.features is not None:
+            lrs["features"] = self._schedulers["features"](self.global_step)
+        return lrs
+
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self, sh_degree: int):
+        """Jitted (params, opt, lrs, gt, key, cam) -> new state + metrics.
+
+        The camera is a traced pytree argument - its pose/intrinsics change
+        every frame without recompiling; only resolution/model enums (static
+        fields) specialize the compile.
+        """
+        conf = self.conf
+        base_model = self.model
+        selective = conf.optimizer.type == "selective_adam"
+
+        @jax.jit
+        def step_fn(params_d, opt_state, lrs, rgb_gt, n_active, key, cam):
+            model = base_model.replace(
+                params=base_model.params.replace(**params_d),
+                n_active=n_active)
+
+            def loss_fn(pd):
+                m = model.replace(params=model.params.replace(**pd))
+                out = render_gut(cam, conf.ut, conf.raster, m, sh_degree)
+                bg = bg_mod.background_color(conf.background, key, train=True)
+                pred = bg_mod.apply_background(out["pred_features"],
+                                               out["pred_opacity"], bg)
+                losses = {}
+                total = 0.0
+                if conf.loss.use_l1:
+                    l1 = jnp.mean(jnp.abs(pred - rgb_gt))
+                    losses["l1"] = l1
+                    total = total + conf.loss.lambda_l1 * l1
+                if conf.loss.use_l2:
+                    l2 = jnp.mean((pred - rgb_gt) ** 2)
+                    losses["l2"] = l2
+                    total = total + conf.loss.lambda_l2 * l2
+                if conf.loss.use_ssim:
+                    s = ssim(pred.transpose(2, 0, 1)[None],
+                             rgb_gt.transpose(2, 0, 1)[None])
+                    losses["ssim"] = 1.0 - s
+                    total = total + conf.loss.lambda_ssim * (1.0 - s)
+                if conf.loss.use_opacity:
+                    lo = jnp.mean(jnp.abs(m.get_density()))
+                    losses["opacity"] = lo
+                    total = total + conf.loss.lambda_opacity * lo
+                if conf.loss.use_scale:
+                    ls = jnp.mean(jnp.abs(m.get_scale()))
+                    losses["scale"] = ls
+                    total = total + conf.loss.lambda_scale * ls
+                losses["total"] = total
+                aux = dict(losses=losses, pred=pred,
+                           visibility=out["mog_visibility"],
+                           pairs=out["num_pairs"],
+                           overflow=out["pairs_overflow"])
+                return total, aux
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params_d)
+            visibility = aux["visibility"] if selective else None
+            active_mask = (jnp.arange(base_model.capacity, dtype=jnp.int32)
+                           < n_active)
+            new_params, new_opt = adam_mod.adam_step(
+                params_d, grads, opt_state, lrs, eps=conf.optimizer.eps,
+                visibility=visibility, update_mask=active_mask)
+            metrics = dict(aux["losses"])
+            metrics["psnr"] = psnr(jnp.clip(aux["pred"], 0, 1), rgb_gt)
+            metrics["pairs"] = aux["pairs"]
+            metrics["overflow"] = aux["overflow"]
+            return new_params, new_opt, grads, metrics
+
+        return step_fn
+
+    def train_iteration(self, batch) -> Dict[str, float]:
+        cam = camera_from_batch(batch, self.conf.ut)
+        sh_degree = min(self.n_active_features, self.conf.max_n_features)
+        cache_key = (cam.resolution, cam.model_type, cam.shutter_type,
+                     sh_degree, self.model.capacity)
+        if cache_key not in self._train_step_cache:
+            self._train_step_cache[cache_key] = self._build_train_step(
+                sh_degree)
+        step_fn = self._train_step_cache[cache_key]
+
+        self.key, k = jax.random.split(self.key)
+        lrs = {n: jnp.asarray(v, jnp.float32)
+               for n, v in self.current_lrs().items()}
+        rgb_gt = jnp.asarray(batch.rgb_gt)
+        new_params, new_opt, grads, metrics = step_fn(
+            self._params_dict(), self.opt_state, lrs, rgb_gt,
+            self.model.n_active, k, cam)
+        self._last_cam = cam
+        self._set_params_dict(new_params)
+        self.opt_state = new_opt
+
+        self.global_step += 1
+        self._post_backward(grads, cam)
+        self._post_optimizer_step()
+        self._progressive_features()
+        return {k2: float(v) for k2, v in metrics.items()}
+
+    # ------------------------------------------------------------------
+
+    def _post_backward(self, grads, cam):
+        if self.conf.strategy != "gs":
+            return
+        c = self.conf.gs
+        if strat_base.check_step_condition(self.global_step, 0,
+                                           c.densify_end, 1):
+            from ..ops.ut import sensor_position
+            self.gs_buffers = gs_strategy.update_gradient_buffer(
+                self.gs_buffers, grads["positions"],
+                self.model.params.positions, sensor_position(cam))
+
+    def _post_optimizer_step(self):
+        step = self.global_step
+        if self.conf.strategy == "gs":
+            c = self.conf.gs
+            if strat_base.check_step_condition(step, c.densify_start,
+                                               c.densify_end,
+                                               c.densify_frequency):
+                self.key, k = jax.random.split(self.key)
+                self.model, self.opt_state, self.gs_buffers, stats = \
+                    gs_strategy.densify(
+                        self.model, self.opt_state, self.gs_buffers,
+                        self.scene_extent, k,
+                        clone_grad_threshold=c.clone_grad_threshold,
+                        split_grad_threshold=c.split_grad_threshold,
+                        relative_size_threshold=c.relative_size_threshold,
+                        n_split=c.split_n_gaussians)
+                if self.conf.print_stats:
+                    print(f"[{step}] densify: {stats} "
+                          f"n={int(self.model.n_active)}")
+            if strat_base.check_step_condition(step, c.prune_start,
+                                               c.prune_end,
+                                               c.prune_frequency):
+                self.model, self.opt_state, self.gs_buffers, n_pruned = \
+                    gs_strategy.prune_opacity(self.model, self.opt_state,
+                                              self.gs_buffers,
+                                              c.prune_density_threshold)
+                if self.conf.print_stats:
+                    print(f"[{step}] pruned {int(n_pruned)} "
+                          f"n={int(self.model.n_active)}")
+            if strat_base.check_step_condition(step, c.reset_density_start,
+                                               c.reset_density_end,
+                                               c.reset_density_frequency):
+                self.model, self.opt_state = gs_strategy.reset_density(
+                    self.model, self.opt_state, c.new_max_density)
+        else:
+            c = self.conf.mcmc
+            if strat_base.check_step_condition(step, c.relocate_start,
+                                               c.relocate_end,
+                                               c.relocate_frequency):
+                self.key, k = jax.random.split(self.key)
+                self.model, self.opt_state, n_rel = mcmc_strategy.relocate(
+                    self.model, self.opt_state, k,
+                    opacity_threshold=c.opacity_threshold,
+                    n_max=c.binom_n_max)
+            if strat_base.check_step_condition(step, c.add_start, c.add_end,
+                                               c.add_frequency):
+                self.key, k = jax.random.split(self.key)
+                self.model, self.opt_state, n_added = \
+                    mcmc_strategy.add_gaussians(
+                        self.model, self.opt_state, k,
+                        max_n=c.max_n_gaussians, n_max=c.binom_n_max)
+            if strat_base.check_step_condition(step, c.perturb_start,
+                                               c.perturb_end,
+                                               c.perturb_frequency):
+                self.key, k = jax.random.split(self.key)
+                pos_lr = jnp.asarray(
+                    self._schedulers["positions"](step), jnp.float32)
+                self.model = mcmc_strategy.perturb(self.model, k, pos_lr,
+                                                   c.noise_lr)
+
+    def _progressive_features(self):
+        conf = self.conf
+        if (self.n_active_features < conf.max_n_features
+                and conf.increase_frequency > 0
+                and self.global_step % conf.increase_frequency == 0):
+            self.n_active_features = min(
+                conf.max_n_features,
+                self.n_active_features + conf.increase_step)
+
+    # ------------------------------------------------------------------
+
+    def run_training(self, max_steps: Optional[int] = None,
+                     log_every: int = 0):
+        n = max_steps or self.conf.n_iterations
+        order = None
+        t0 = time.time()
+        while self.global_step < n:
+            if order is None or not order:
+                order = list(np.random.default_rng(
+                    self.conf.seed + self.global_step).permutation(
+                        len(self.dataset)))
+            idx = order.pop()
+            batch = self.dataset[idx]
+            metrics = self.train_iteration(batch)
+            if log_every and self.global_step % log_every == 0:
+                dt = time.time() - t0
+                print(f"step {self.global_step}: "
+                      f"loss={metrics['total']:.4f} "
+                      f"psnr={metrics['psnr']:.2f} "
+                      f"n={int(self.model.n_active)} "
+                      f"({self.global_step / dt:.1f} it/s)")
+        return self.metrics_history
+
+    def validate(self, dataset=None) -> Dict[str, float]:
+        ds = dataset or self.val_dataset or self.dataset
+        psnrs, ssims = [], []
+        sh_degree = min(self.n_active_features, self.conf.max_n_features)
+        for i in range(len(ds)):
+            batch = ds[i]
+            cam = camera_from_batch(batch, self.conf.ut)
+            out = render_gut(cam, self.conf.ut, self.conf.raster, self.model,
+                             sh_degree)
+            bg = bg_mod.background_color(self.conf.background, train=False)
+            pred = bg_mod.apply_background(out["pred_features"],
+                                           out["pred_opacity"], bg)
+            pred = jnp.clip(pred, 0.0, 1.0)
+            gt = jnp.asarray(batch.rgb_gt)
+            psnrs.append(float(psnr(pred, gt)))
+            ssims.append(float(ssim(pred.transpose(2, 0, 1)[None],
+                                    gt.transpose(2, 0, 1)[None])))
+        return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+                "n_views": len(psnrs)}
+
+    # --- checkpointing --------------------------------------------------
+
+    def save_checkpoint(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        flat = {}
+        for name, v in self._params_dict().items():
+            flat[f"params/{name}"] = np.asarray(v)
+        for name, v in self.opt_state.exp_avg.items():
+            flat[f"opt/m/{name}"] = np.asarray(v)
+        for name, v in self.opt_state.exp_avg_sq.items():
+            flat[f"opt/v/{name}"] = np.asarray(v)
+        flat["opt/step"] = np.asarray(self.opt_state.step)
+        flat["n_active"] = np.asarray(self.model.n_active)
+        flat["global_step"] = np.asarray(self.global_step)
+        flat["n_active_features"] = np.asarray(self.n_active_features)
+        if self.conf.strategy == "gs":
+            flat["gs/grad_accum"] = np.asarray(self.gs_buffers.grad_norm_accum)
+            flat["gs/grad_denom"] = np.asarray(self.gs_buffers.grad_norm_denom)
+        np.savez(path, **flat)
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        params = {k.split("/", 1)[1]: jnp.asarray(v) for k, v in data.items()
+                  if k.startswith("params/")}
+        self._set_params_dict(params)
+        self.model = self.model.replace(
+            n_active=jnp.asarray(data["n_active"]))
+        m = {k.split("/", 2)[2]: jnp.asarray(v) for k, v in data.items()
+             if k.startswith("opt/m/")}
+        v = {k.split("/", 2)[2]: jnp.asarray(va) for k, va in data.items()
+             if k.startswith("opt/v/")}
+        self.opt_state = adam_mod.AdamState(
+            step=jnp.asarray(data["opt/step"]), exp_avg=m, exp_avg_sq=v)
+        self.global_step = int(data["global_step"])
+        self.n_active_features = int(data["n_active_features"])
+        if self.conf.strategy == "gs" and "gs/grad_accum" in data:
+            self.gs_buffers = gs_strategy.GSBuffers(
+                jnp.asarray(data["gs/grad_accum"]),
+                jnp.asarray(data["gs/grad_denom"]))
