@@ -1,0 +1,110 @@
+"""Headline benchmark: 3DGUT training iterations/sec on one TPU chip.
+
+Synthetic lego-class workload (no datasets ship with this environment):
+100k Gaussians, 800x800 render, full train step = render forward +
+L1+DSSIM loss + backward through the Pallas kernels + masked Adam update.
+Baseline anchor: reference 3DGUT GS unsorted trains NeRF-Synthetic lego in
+221.7 s / 30k iters ~= 135 it/s on an RTX 5090 (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IT_S = 135.0  # reference lego 3DGUT GS unsorted on RTX 5090
+
+
+def main():
+    from threedgrut_tpu.models.gaussians import (GaussianModelConfig,
+                                                 GaussianParams,
+                                                 GaussianState)
+    from threedgrut_tpu.ops.cameras import make_pinhole
+    from threedgrut_tpu.ops.sh import rgb_to_sh0
+    from threedgrut_tpu.ops.ssim import ssim
+    from threedgrut_tpu.ops.ut import UTConfig
+    from threedgrut_tpu.optimizers.adam import adam_step, init_adam_state
+    from threedgrut_tpu.render.common import RasterConfig
+    from threedgrut_tpu.render.gut import render_gut
+
+    n, side, cap = 100_000, 800, 100_352  # cap = multiple of 256
+    rng = np.random.default_rng(0)
+    pos = np.zeros((cap, 3), np.float32)
+    pos[:n, 0:2] = rng.uniform(-2.5, 2.5, (n, 2))
+    pos[:n, 2] = rng.uniform(2.0, 9.0, n)
+    pos[n:, 2] = 1e6
+    quat = rng.normal(size=(cap, 4)).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    scales = np.log(rng.uniform(0.01, 0.05, (cap, 3)).astype(np.float32))
+    dens = (rng.normal(size=(cap, 1)) * 0.5).astype(np.float32)
+    albedo = np.asarray(rgb_to_sh0(jnp.asarray(
+        rng.uniform(0, 1, (cap, 3)).astype(np.float32))))
+    spec = (rng.normal(size=(cap, 45)) * 0.02).astype(np.float32)
+    params_d = dict(
+        positions=jnp.asarray(pos), rotation=jnp.asarray(quat),
+        scale=jnp.asarray(scales), density=jnp.asarray(dens),
+        features_albedo=jnp.asarray(albedo),
+        features_specular=jnp.asarray(spec))
+    model = GaussianState(
+        params=GaussianParams(**params_d),
+        n_active=jnp.asarray(n, jnp.int32),
+        n_active_features=jnp.asarray(3, jnp.int32),
+        config=GaussianModelConfig())
+    cam = make_pinhole(resolution=(side, side),
+                       focal=(1.1 * side, 1.1 * side),
+                       principal=(side / 2, side / 2))
+    ut_cfg = UTConfig()
+    rc = RasterConfig(max_pairs=1 << 21)
+    gt = jnp.asarray(rng.uniform(0, 1, (side, side, 3)).astype(np.float32))
+    opt_state = init_adam_state(params_d)
+    lrs = {k: jnp.asarray(1e-3, jnp.float32) for k in params_d}
+
+    @jax.jit
+    def train_step(params_d, opt_state):
+        def loss_fn(pd):
+            m = model.replace(params=model.params.replace(**pd))
+            out = render_gut(cam, ut_cfg, rc, m, sh_degree=3)
+            pred = out["pred_features"]
+            l1 = jnp.mean(jnp.abs(pred - gt))
+            s = ssim(pred.transpose(2, 0, 1)[None],
+                     gt.transpose(2, 0, 1)[None])
+            return 0.8 * l1 + 0.2 * (1.0 - s)
+        loss, grads = jax.value_and_grad(loss_fn)(params_d)
+        active = jnp.arange(cap, dtype=jnp.int32) < model.n_active
+        new_p, new_o = adam_step(params_d, grads, opt_state, lrs,
+                                 update_mask=active)
+        return new_p, new_o, loss
+
+    # warmup / compile
+    params_d, opt_state, loss = train_step(params_d, opt_state)
+    jax.block_until_ready(loss)
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        params_d, opt_state, loss = train_step(params_d, opt_state)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / iters
+    it_s = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "3dgut_train_iters_per_sec_100k_800px",
+        "value": round(it_s, 2),
+        "unit": "it/s",
+        "vs_baseline": round(it_s / BASELINE_IT_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
