@@ -1,0 +1,92 @@
+"""Checkpoint evaluation CLI (reference render.py / threedgrut/render.py).
+
+Loads a checkpoint (.npz from train.py or a 3DGS .ply), renders the test
+split, writes per-frame PNGs + metrics.json (PSNR/SSIM).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", required=True,
+                        help=".npz trainer checkpoint or .ply")
+    parser.add_argument("--path", required=True, help="dataset path")
+    parser.add_argument("--config-name", default="apps/nerf_synthetic_3dgut")
+    parser.add_argument("--out-dir", default="./eval")
+    parser.add_argument("--save-images", action="store_true")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from threedgrut_tpu.config.loader import load_config, to_trainer_config
+    from threedgrut_tpu.models import background as bg_mod
+    from threedgrut_tpu.ops.ssim import psnr, ssim
+    from threedgrut_tpu.render.gut import render_gut
+    from threedgrut_tpu.train.trainer import camera_from_batch
+    from train import make_dataset, make_model
+
+    conf = load_config(args.config_name,
+                       overrides=[f"path={args.path}"] + args.overrides)
+    tconf = to_trainer_config(conf)
+    split = "test" if conf.dataset.type == "nerf" else "test"
+    dataset = make_dataset(conf, split)
+
+    if args.checkpoint.endswith(".ply"):
+        from threedgrut_tpu.export.ply import import_model
+        model = import_model(args.checkpoint)
+        sh_degree = tconf.max_n_features
+    else:
+        from threedgrut_tpu.train.trainer import Trainer
+        model = make_model(conf, dataset)
+        trainer = Trainer(tconf, dataset, model)
+        trainer.load_checkpoint(args.checkpoint)
+        model = trainer.model
+        sh_degree = min(trainer.n_active_features, tconf.max_n_features)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    per_frame = []
+    for i in range(len(dataset)):
+        batch = dataset[i]
+        cam = camera_from_batch(batch, tconf.ut)
+        out = render_gut(cam, tconf.ut, tconf.raster, model, sh_degree)
+        bg = bg_mod.background_color(tconf.background, train=False)
+        pred = bg_mod.apply_background(out["pred_features"],
+                                       out["pred_opacity"], bg)
+        pred = jnp.clip(pred, 0.0, 1.0)
+        gt = jnp.asarray(batch.rgb_gt)
+        m = {"frame": i,
+             "psnr": float(psnr(pred, gt)),
+             "ssim": float(ssim(pred.transpose(2, 0, 1)[None],
+                                gt.transpose(2, 0, 1)[None]))}
+        per_frame.append(m)
+        print(m)
+        if args.save_images:
+            from PIL import Image
+            img = (np.asarray(pred) * 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(args.out_dir, f"pred_{i:04d}.png"))
+
+    metrics = {
+        "psnr": float(np.mean([m["psnr"] for m in per_frame])),
+        "ssim": float(np.mean([m["ssim"] for m in per_frame])),
+        "per_frame": per_frame,
+    }
+    with open(os.path.join(args.out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print("avg:", {k: v for k, v in metrics.items() if k != "per_frame"})
+
+
+if __name__ == "__main__":
+    main()

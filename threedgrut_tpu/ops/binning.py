@@ -69,10 +69,19 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
     total = offsets[-1]
     excl = offsets - counts_sorted               # exclusive
 
-    # expansion: pair j belongs to sorted particle searchsorted(offsets, j)
+    # expansion: pair j belongs to the sorted particle whose range
+    # [excl_i, excl_i + count_i) contains j. Equivalent to
+    # searchsorted(offsets, j, 'right') but computed with one scatter +
+    # cummax instead of a binary-search gather loop (which is ~10x slower
+    # on TPU): mark each nonempty particle's range start with its index,
+    # then forward-fill.
     pair_j = jnp.arange(max_pairs, dtype=jnp.int32)
-    src = jnp.searchsorted(offsets, pair_j, side="right").astype(jnp.int32)
-    src = jnp.minimum(src, n - 1)
+    nonempty = counts_sorted > 0
+    markers = jnp.zeros(max_pairs, jnp.int32).at[
+        jnp.where(nonempty, excl, max_pairs)].max(
+        jnp.arange(n, dtype=jnp.int32) + 1, mode="drop")
+    src = jax.lax.cummax(markers) - 1
+    src = jnp.clip(src, 0, n - 1)
     in_range = pair_j < jnp.minimum(total, max_pairs)
     rank = pair_j - excl[src]
     w_src = jnp.maximum(width[order][src], 1)

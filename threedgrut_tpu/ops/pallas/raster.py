@@ -50,12 +50,18 @@ RECORD_DIM = 16
 TILE_PIX = 256  # 16 x 16
 CHUNK = 128     # candidates per chunk == lane width
 
-# record field rows
+# record field rows (general layout)
 _POS = 0
 _QUAT = 3
 _SCALE = 7
 _DENSITY = 10
 _FEAT = 11
+
+# record field rows (shared-origin fast layout; see chunk_hits_fast)
+_U = 0        # 0:3   u = M^T M (o - p),  M = diag(1/s) R^T
+_A6 = 3       # 3:9   A = M^T M packed [a00, a11, a22, a01, a02, a12]
+_G2 = 9       # 9     |M (o - p)|^2
+# density 10, features 11:14 as in the general layout
 
 
 def _row(rec, i):
@@ -118,6 +124,45 @@ def chunk_hits(rec, ray_o, ray_d, *, kernel_degree: int, min_response: float,
     return alpha, hit_t
 
 
+def chunk_hits_fast(rec, ray_d, *, kernel_degree: int, min_response: float,
+                    min_alpha: float, max_alpha: float):
+    """Shared-ray-origin fast path: alpha/hitT via two MXU matmuls.
+
+    When every ray in the tile shares one origin o (pinhole/fisheye camera,
+    global shutter - the training hot path), the per-(pair, pixel) response
+    factorizes: with M = diag(1/s) R^T, u = M^T M (o-p), A = M^T M,
+    g2 = |M (o-p)|^2 and unit direction d:
+
+        q  = u . d                (MXU: [256,3] @ [3,K])
+        m  = d^T A d              (MXU: [256,6] @ [6,K])
+        sq_dist = g2 - q^2 / m    (canonical perpendicular distance^2)
+        hitT    = -q / m          (signed max-response distance)
+
+    ~10 VPU ops per element instead of the ~80 of the general transform.
+    Algebraically identical to chunk_hits (same reference semantics).
+    """
+    dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]   # [256,1]
+    d3 = ray_d                                                  # [256,3]
+    d6 = jnp.concatenate([dx * dx, dy * dy, dz * dz,
+                          2.0 * dx * dy, 2.0 * dx * dz, 2.0 * dy * dz],
+                         axis=1)                                # [256,6]
+    q = jax.lax.dot_general(d3, rec[_U:_U + 3, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [256,K]
+    m = jax.lax.dot_general(d6, rec[_A6:_A6 + 6, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [256,K]
+    inv_m = 1.0 / m
+    sq_dist = jnp.maximum(_row(rec, _G2) - q * q * inv_m, 0.0)
+    response = particle_response(sq_dist, kernel_degree)
+    density = _row(rec, _DENSITY)
+    alpha = jnp.minimum(max_alpha, response * density)
+    accept = (response > min_response) & (alpha > min_alpha)
+    alpha = jnp.where(accept, alpha, 0.0)
+    hit_t = -q * inv_m
+    return alpha, hit_t
+
+
 def _prefix_product_excl(x):
     """Exclusive prefix product along the lane axis (axis 1), static K."""
     k = x.shape[1]
@@ -152,10 +197,17 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in, cfg_static):
     t_prev [256,K], t_out [256,1]).
     """
     (kernel_degree, min_response, min_alpha, max_alpha,
-     min_transmittance) = cfg_static
-    alpha, hit_t = chunk_hits(rec, ray_o, ray_d, kernel_degree=kernel_degree,
-                              min_response=min_response, min_alpha=min_alpha,
-                              max_alpha=max_alpha)
+     min_transmittance, shared_origin) = cfg_static
+    if shared_origin:
+        alpha, hit_t = chunk_hits_fast(
+            rec, ray_d, kernel_degree=kernel_degree,
+            min_response=min_response, min_alpha=min_alpha,
+            max_alpha=max_alpha)
+    else:
+        alpha, hit_t = chunk_hits(
+            rec, ray_o, ray_d, kernel_degree=kernel_degree,
+            min_response=min_response, min_alpha=min_alpha,
+            max_alpha=max_alpha)
     in_range = (hit_t > tmin) & (hit_t < tmax)
     alpha = jnp.where(in_range, alpha, 0.0)
 
@@ -325,10 +377,18 @@ def _bwd_kernel(tile_start_ref, records_hbm, rays_ref, fwd_out_ref,
 
         # --- pull back into record space via autodiff of chunk_hits ---
         def hit_fn(r):
-            kernel_degree, min_response, min_alpha, max_alpha, _ = cfg_static
-            a, ht = chunk_hits(r, ray_o, ray_d, kernel_degree=kernel_degree,
-                               min_response=min_response, min_alpha=min_alpha,
-                               max_alpha=max_alpha)
+            (kernel_degree, min_response, min_alpha, max_alpha, _,
+             shared_origin) = cfg_static
+            if shared_origin:
+                a, ht = chunk_hits_fast(
+                    r, ray_d, kernel_degree=kernel_degree,
+                    min_response=min_response, min_alpha=min_alpha,
+                    max_alpha=max_alpha)
+            else:
+                a, ht = chunk_hits(
+                    r, ray_o, ray_d, kernel_degree=kernel_degree,
+                    min_response=min_response, min_alpha=min_alpha,
+                    max_alpha=max_alpha)
             in_range = (ht > tmin) & (ht < tmax)
             return jnp.where(in_range, a, 0.0), ht
 
@@ -440,7 +500,8 @@ def rasterize_tiles(records: jnp.ndarray, tile_start: jnp.ndarray,
         tile_start: [T+1] int32 CHUNK-aligned segment starts (pair units).
         rays: [T, 256, 8].
         cfg_static: (kernel_degree, min_response, min_alpha, max_alpha,
-            min_transmittance) - hashable static tuple.
+            min_transmittance, shared_origin) - hashable static tuple;
+            shared_origin selects the fast record layout (chunk_hits_fast).
     Returns:
         [T, 256, 8] composited outputs.
     """

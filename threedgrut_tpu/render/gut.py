@@ -113,20 +113,50 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         tile_culling=raster_cfg.tile_culling,
         alpha_threshold=ut_cfg.alpha_threshold)
 
+    # the hot path (camera rays, global shutter) has one shared ray origin
+    # -> the kernel can use the factorized MXU response (chunk_hits_fast)
+    from ..ops.cameras import ShutterType
+    shared_origin = (rays is None
+                     and cam.shutter_type == int(ShutterType.GLOBAL))
+
     # pair records (differentiable gather from model params), laid out as
     # [C, 16, CHUNK] contiguous chunk blocks for single-DMA streaming
     idx = jnp.maximum(b.pair_particle, 0)
     pad_valid = (b.pair_particle >= 0).astype(jnp.float32)[:, None]
     quats = quat_normalize(model.params.rotation)
     p_total = b.pair_particle.shape[0]
-    records = jnp.concatenate([
-        model.params.positions[idx],
-        quats[idx],
-        model.get_scale()[idx],
-        model.get_density()[idx] * pad_valid,
-        feats[idx],
-        jnp.zeros((p_total, RECORD_DIM - 14), jnp.float32),
-    ], axis=1)
+    if shared_origin:
+        # per-particle quadratic-form precompute (see chunk_hits_fast)
+        from ..ops.quaternion import quat_to_rotmat
+        from ..ops.ut import sensor_position
+        origin = sensor_position(cam)
+        rot = quat_to_rotmat(quats)                       # [C,3,3]
+        inv_s2 = 1.0 / jnp.square(model.get_scale())      # [C,3]
+        # A = R diag(1/s^2) R^T
+        a_full = jnp.einsum("nij,nj,nkj->nik", rot, inv_s2, rot,
+                            precision="highest")          # [C,3,3]
+        delta = origin - model.params.positions           # [C,3]
+        u = jnp.einsum("nij,nj->ni", a_full, delta,
+                       precision="highest")               # [C,3]
+        g2 = jnp.sum(u * delta, axis=1, keepdims=True)    # |M delta|^2
+        a6 = jnp.stack([a_full[:, 0, 0], a_full[:, 1, 1], a_full[:, 2, 2],
+                        a_full[:, 0, 1], a_full[:, 0, 2], a_full[:, 1, 2]],
+                       axis=1)
+        records = jnp.concatenate([
+            u[idx], a6[idx], g2[idx],
+            model.get_density()[idx] * pad_valid,
+            feats[idx],
+            jnp.zeros((p_total, RECORD_DIM - 14), jnp.float32),
+        ], axis=1)
+    else:
+        records = jnp.concatenate([
+            model.params.positions[idx],
+            quats[idx],
+            model.get_scale()[idx],
+            model.get_density()[idx] * pad_valid,
+            feats[idx],
+            jnp.zeros((p_total, RECORD_DIM - 14), jnp.float32),
+        ], axis=1)
     n_chunks = p_total // CHUNK
     records = records.reshape(n_chunks, CHUNK, RECORD_DIM).transpose(0, 2, 1)
 
@@ -151,7 +181,7 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
 
     cfg_static = (raster_cfg.kernel_degree, raster_cfg.min_response,
                   raster_cfg.min_alpha, raster_cfg.max_alpha,
-                  raster_cfg.min_transmittance)
+                  raster_cfg.min_transmittance, shared_origin)
     out = rasterize_tiles(records, b.tile_start, rays_packed,
                           cfg_static, interpret)
 

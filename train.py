@@ -1,0 +1,123 @@
+"""Training CLI: `python train.py --config-name apps/nerf_synthetic_3dgut
+path=/data/lego [key=value ...]`.
+
+Mirrors the reference train.py (hydra entry) on the composed-YAML surface
+of threedgrut_tpu.config.loader.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
+import numpy as np
+
+
+def make_dataset(conf, split="train"):
+    from threedgrut_tpu.data.colmap import ColmapDataset, ScannetppDataset
+    from threedgrut_tpu.data.nerf import NeRFDataset
+
+    dtype = conf.dataset.type
+    down = conf.dataset.get("downsample_factor", 1)
+    if dtype == "nerf":
+        return NeRFDataset(conf.path, split=split, downsample=down,
+                           bg_color=conf.model.background.color)
+    if dtype == "colmap":
+        return ColmapDataset(conf.path, split=split, downsample=down)
+    if dtype == "scannetpp":
+        return ScannetppDataset(conf.path, split=split, downsample=down)
+    raise ValueError(f"unknown dataset type {dtype}")
+
+
+def make_model(conf, dataset):
+    import jax.numpy as jnp
+
+    from threedgrut_tpu.models.gaussians import (GaussianModelConfig,
+                                                 initialize_from_points,
+                                                 random_initialization)
+
+    mc = GaussianModelConfig(
+        density_activation=conf.model.density_activation,
+        scale_activation=conf.model.scale_activation,
+        feature_type=conf.model.feature_type,
+        max_sh_degree=min(conf.model.progressive_training.max_n_features,
+                          conf.render.particle_radiance_sph_degree),
+        nht_feature_dim=conf.model.nht_features.dim,
+        default_density=conf.model.default_density,
+        default_scale_factor=conf.model.default_scale_factor)
+
+    init = conf.get("initialization", {}).get("method", "colmap")
+    if conf.get("import_ply", {}).get("enabled"):
+        from threedgrut_tpu.export.ply import import_model
+        return import_model(conf.import_ply.path, mc)
+    if init == "colmap" and hasattr(dataset, "load_points3d"):
+        pts, rgb, _ = dataset.load_points3d()
+        return initialize_from_points(mc, pts, rgb.astype(np.float32),
+                                      seed=conf.seed_initialization)
+    n = conf.get("initialization", {}).get("num_gaussians", 100000)
+    extent = dataset.get_scene_extent()
+    return random_initialization(mc, n, extent=extent,
+                                 seed=conf.seed_initialization)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config-name", default="apps/nerf_synthetic_3dgut")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args()
+
+    from threedgrut_tpu.config.loader import load_config, to_trainer_config
+    from threedgrut_tpu.train.trainer import Trainer
+
+    conf = load_config(args.config_name, overrides=args.overrides)
+    if conf.path == "???":
+        raise SystemExit("set the dataset path: train.py ... path=/data/...")
+
+    dataset = make_dataset(conf, "train")
+    try:
+        val_dataset = make_dataset(conf, "val" if conf.dataset.type == "nerf"
+                                   else "test")
+    except Exception:
+        val_dataset = None
+    model = make_model(conf, dataset)
+    tconf = to_trainer_config(conf)
+    out_dir = os.path.join(conf.out_dir, conf.experiment_name or "run")
+    trainer = Trainer(tconf, dataset, model, val_dataset=val_dataset,
+                      out_dir=out_dir)
+    if conf.resume:
+        trainer.load_checkpoint(conf.resume)
+
+    ckpt_iters = set(conf.checkpoint.iterations)
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        while trainer.global_step < tconf.n_iterations:
+            trainer.run_training(
+                max_steps=min(trainer.global_step + conf.log_frequency * 100,
+                              tconf.n_iterations),
+                log_every=conf.log_frequency * 100)
+            if any(trainer.global_step >= c and
+                   (trainer.global_step - conf.log_frequency * 100) < c
+                   for c in ckpt_iters):
+                trainer.save_checkpoint(
+                    os.path.join(out_dir, f"ckpt_{trainer.global_step}.npz"))
+            if (tconf.val_frequency
+                    and trainer.global_step % tconf.val_frequency < 100
+                    and val_dataset is not None):
+                print("val:", trainer.validate())
+    except KeyboardInterrupt:
+        print("interrupted; saving last checkpoint")
+    trainer.save_checkpoint(os.path.join(out_dir, "ckpt_last.npz"))
+    if conf.get("export_ply", {}).get("enabled"):
+        from threedgrut_tpu.export.ply import export_model
+        export_model(trainer.model, conf.export_ply.path
+                     or os.path.join(out_dir, "export_last.ply"))
+    if conf.test_last and val_dataset is not None:
+        print("final:", trainer.validate())
+
+
+if __name__ == "__main__":
+    main()
