@@ -12,32 +12,51 @@ vectorized as [256 pixels x 128 candidates] register tiles:
   prefix product : Hillis-Steele scan along the candidate (lane) axis
                    replaces the serial transmittance recurrence (the
                    reference's __shfl_up_sync scan),
-  accumulation   : weighted feature/depth reductions over the lane axis.
+  accumulation   : weighted feature/depth reductions over the lane axis
+                   (MXU matmuls for per-particle features).
+
+Two *geometry* modes (static):
+  general       : full canonical-frame transform per (pair, pixel); works
+                  for arbitrary ray origins (rolling shutter, secondary
+                  rays, model.trace()),
+  shared_origin : all rays in a dispatch share one origin (pinhole /
+                  fisheye camera, global shutter - the training hot path).
+                  The response factorizes into two small MXU matmuls
+                  against per-particle quadratic forms (chunk_hits_fast).
+
+Two *feature* modes (static):
+  constant : per-particle precomputed features (SH radiance evaluated at
+             the sensor->particle direction; PerRayParticleFeatures=false,
+             gutProjector.cuh:306-310),
+  nht      : Neural-Harmonic-Texture features interpolated per (pair,
+             pixel) at the canonical intersection point via canonical-
+             tetrahedron barycentric weights + sincos activation
+             (neuralHarmonicFeaturesParticle.slang:46-196).
 
 The backward kernel replays the walk front-to-back using the residual
 formulation of the reference (gaussianParticles.cuh:484-751: gradients
 from integrated totals, no per-hit state), and pulls cotangents back to
-the record fields with ``jax.vjp`` of the same chunk function the forward
+the record fields with ``jax.vjp`` of the same chunk functions the forward
 uses - JAX autodiff inside the kernel replaces both the hand-derived CUDA
 gradients and the Slang autodiff pipeline.
 
 Data layout (built by threedgrut_tpu/render/gut.py):
-  records [C, 16, CHUNK] f32: C = P_total/CHUNK chunk blocks; row = field:
-          0:3 pos | 3:7 quat (normalized wxyz) | 7:10 scale | 10 density |
-          11:14 features (rgb) | 14:16 pad. One chunk = one contiguous
-          8 KiB DMA.
+  records [C, R, CHUNK] f32: C chunk blocks; row = field. R and the field
+          offsets depend on the (geometry, feature) mode - see
+          RasterKernelConfig. One chunk = one contiguous DMA.
   rays    [T, 256, 8] f32: lanes 0-2 origin, 3-5 dir, 6 tmin, 7 tmax.
-  out     [T, 256, 8] f32: lanes 0-2 feat, 3 alpha, 4 depth, 5 hits,
-          6 final transmittance, 7 pad.
+  out     [T, 256, OUT] f32: lanes 0..F-1 features, F alpha, F+1 depth,
+          F+2 hits, F+3 final transmittance (OUT = round_up(F+4, 8)).
 Tile pair segments are CHUNK-aligned (padding slots hold density=0
 records) so chunk DMAs never straddle tiles and the backward writes whole
-[16, CHUNK] gradient blocks race-free.
+[R, CHUNK] gradient blocks race-free.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -46,22 +65,72 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..hit import particle_response
 
-RECORD_DIM = 16
 TILE_PIX = 256  # 16 x 16
 CHUNK = 128     # candidates per chunk == lane width
 
-# record field rows (general layout)
+# retained for backwards compatibility with callers sizing SH records
+RECORD_DIM = 16
+
+
+class RasterKernelConfig(NamedTuple):
+    """Static (hashable) kernel configuration."""
+    kernel_degree: int = 2
+    min_response: float = 0.0113
+    min_alpha: float = 1.0 / 255.0
+    max_alpha: float = 0.99
+    min_transmittance: float = 1e-4
+    shared_origin: bool = True
+    feature_mode: str = "constant"     # constant | nht
+    feat_dim: int = 3                  # ray feature dim F
+    # nht only:
+    interp_pt_dim: int = 12            # per-tetra-vertex feature dim
+    num_frequencies: int = 1           # sincos frequencies
+
+    # --- derived layout ---
+    @property
+    def geom_dim(self) -> int:
+        # shared: gro(3) M(9) dens(1); general: pos(3) quat(4) scale(3)
+        # dens(1)
+        return 13 if self.shared_origin else 11
+
+    @property
+    def density_row(self) -> int:
+        return 12 if self.shared_origin else 10
+
+    @property
+    def particle_feat_dim(self) -> int:
+        if self.feature_mode == "constant":
+            return self.feat_dim
+        return 4 * self.interp_pt_dim  # tetra control points
+
+    @property
+    def record_dim(self) -> int:
+        r = self.geom_dim + self.particle_feat_dim
+        return ((r + 7) // 8) * 8
+
+    @property
+    def feat_offset(self) -> int:
+        return self.geom_dim
+
+    @property
+    def out_dim(self) -> int:
+        return ((self.feat_dim + 4 + 7) // 8) * 8
+
+    def legacy_tuple(self):
+        return (self.kernel_degree, self.min_response, self.min_alpha,
+                self.max_alpha, self.min_transmittance)
+
+
+# record field rows (general geometry)
 _POS = 0
 _QUAT = 3
 _SCALE = 7
 _DENSITY = 10
-_FEAT = 11
 
-# record field rows (shared-origin fast layout; see chunk_hits_fast)
-_U = 0        # 0:3   u = M^T M (o - p),  M = diag(1/s) R^T
-_A6 = 3       # 3:9   A = M^T M packed [a00, a11, a22, a01, a02, a12]
-_G2 = 9       # 9     |M (o - p)|^2
-# density 10, features 11:14 as in the general layout
+# record field rows (shared-origin geometry)
+_GRO = 0      # 0:3   a = M (o - p)  (canonical ray origin), M = diag(1/s) R^T
+_M = 3        # 3:12  M row-major (canonical linear map)
+# density at row 10 (general) / handled via _density_row(cfg)
 
 
 def _row(rec, i):
@@ -69,13 +138,19 @@ def _row(rec, i):
     return rec[i:i + 1, :]
 
 
-def chunk_hits(rec, ray_o, ray_d, *, kernel_degree: int, min_response: float,
-               min_alpha: float, max_alpha: float):
-    """Alpha + hitT of K records against 256 rays -> ([256,K], [256,K]).
+def _alpha_from_response(response, density, cfg: RasterKernelConfig):
+    alpha = jnp.minimum(cfg.max_alpha, response * density)
+    accept = (response > cfg.min_response) & (alpha > cfg.min_alpha)
+    return jnp.where(accept, alpha, 0.0)
 
-    rec: [16,K] field-major chunk; ray_o/ray_d: [256,3] (pixel-major).
-    Differentiable w.r.t. rec. Same math as ops.hit.density_hit, laid out
-    pixels-on-sublanes x candidates-on-lanes for the VPU.
+
+def chunk_hits_general(rec, ray_o, ray_d, cfg: RasterKernelConfig,
+                       need_canonical: bool = False):
+    """Canonical-frame hit model for K records x 256 rays.
+
+    rec: [R,K] field-major chunk; ray_o/ray_d: [256,3] (pixel-major).
+    Returns (alpha [256,K], hit_t [256,K], canonical (3 x [256,K]) | None).
+    Same math as ops.hit.density_hit (gaussianParticles.slang:206-243).
     """
     ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]   # [256,1]
     dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
@@ -90,7 +165,8 @@ def chunk_hits(rec, ray_o, ray_d, *, kernel_degree: int, min_response: float,
     r20, r21, r22 = 2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)
 
     px, py, pz = _row(rec, _POS), _row(rec, _POS + 1), _row(rec, _POS + 2)
-    sx, sy, sz = _row(rec, _SCALE), _row(rec, _SCALE + 1), _row(rec, _SCALE + 2)
+    sx, sy, sz = (_row(rec, _SCALE), _row(rec, _SCALE + 1),
+                  _row(rec, _SCALE + 2))
     inv_sx, inv_sy, inv_sz = 1.0 / sx, 1.0 / sy, 1.0 / sz
 
     # world->local is R^T v (column dot products); [256,K] from here on
@@ -111,60 +187,166 @@ def chunk_hits(rec, ray_o, ray_d, *, kernel_degree: int, min_response: float,
     cz = gdx * goy - gdy * gox
     sq_dist = cx * cx + cy * cy + cz * cz
 
-    response = particle_response(sq_dist, kernel_degree)
-    density = _row(rec, _DENSITY)
-    alpha = jnp.minimum(max_alpha, response * density)
-    accept = (response > min_response) & (alpha > min_alpha)
-    alpha = jnp.where(accept, alpha, 0.0)
+    response = particle_response(sq_dist, cfg.kernel_degree)
+    alpha = _alpha_from_response(response, _row(rec, _DENSITY), cfg)
 
     proj = -(gdx * gox + gdy * goy + gdz * goz)
     hx, hy, hz = sx * gdx * proj, sy * gdy * proj, sz * gdz * proj
     hit_t = jnp.sqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-18))
     hit_t = jnp.where(proj < 0.0, -hit_t, hit_t)
-    return alpha, hit_t
+
+    canonical = None
+    if need_canonical:
+        # canonical intersection (gaussianParticles.slang:181-190)
+        canonical = (gox + gdx * proj, goy + gdy * proj, goz + gdz * proj)
+    return alpha, hit_t, canonical
 
 
-def chunk_hits_fast(rec, ray_d, *, kernel_degree: int, min_response: float,
-                    min_alpha: float, max_alpha: float):
-    """Shared-ray-origin fast path: alpha/hitT via two MXU matmuls.
+def chunk_hits_fast(rec, ray_d, cfg: RasterKernelConfig,
+                    need_canonical: bool = False):
+    """Shared-ray-origin fast path: alpha/hitT via three MXU matmuls.
 
-    When every ray in the tile shares one origin o (pinhole/fisheye camera,
-    global shutter - the training hot path), the per-(pair, pixel) response
-    factorizes: with M = diag(1/s) R^T, u = M^T M (o-p), A = M^T M,
-    g2 = |M (o-p)|^2 and unit direction d:
+    When every ray shares one origin o (pinhole/fisheye camera, global
+    shutter - the training hot path), per particle only the canonical map
+    M = diag(1/s) R^T and canonical origin a = M (o - p) are needed; per
+    pixel the canonical (unnormalized) direction is b = M d:
 
-        q  = u . d                (MXU: [256,3] @ [3,K])
-        m  = d^T A d              (MXU: [256,6] @ [6,K])
-        sq_dist = g2 - q^2 / m    (canonical perpendicular distance^2)
-        hitT    = -q / m          (signed max-response distance)
+        b          (MXU: [256,3] @ [3,K] per component, from M's rows)
+        sq_dist  = |a x b|^2 / |b|^2   (canonical perpendicular distance^2)
+        hitT     = -(a . b) / |b|^2    (signed max-response distance;
+                                        exact for unit world d)
+        canonical = a + b * hitT... (in canonical units: a - b (a.b)/|b|^2)
 
-    ~10 VPU ops per element instead of the ~80 of the general transform.
-    Algebraically identical to chunk_hits (same reference semantics).
+    The cross-product form keeps the same numerical conditioning as the
+    reference's canonical-frame math (products of O(|a|) magnitudes, no
+    large-square cancellation), unlike the naive g2 - q^2/m expansion.
+    ~25 VPU ops per element instead of the ~80 of the general transform.
     """
-    dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]   # [256,1]
-    d3 = ray_d                                                  # [256,3]
-    d6 = jnp.concatenate([dx * dx, dy * dy, dz * dz,
-                          2.0 * dx * dy, 2.0 * dx * dz, 2.0 * dy * dz],
-                         axis=1)                                # [256,6]
-    q = jax.lax.dot_general(d3, rec[_U:_U + 3, :],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [256,K]
-    m = jax.lax.dot_general(d6, rec[_A6:_A6 + 6, :],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [256,K]
-    inv_m = 1.0 / m
-    sq_dist = jnp.maximum(_row(rec, _G2) - q * q * inv_m, 0.0)
-    response = particle_response(sq_dist, kernel_degree)
-    density = _row(rec, _DENSITY)
-    alpha = jnp.minimum(max_alpha, response * density)
-    accept = (response > min_response) & (alpha > min_alpha)
-    alpha = jnp.where(accept, alpha, 0.0)
-    hit_t = -q * inv_m
-    return alpha, hit_t
+    def mdot(rows):
+        return jax.lax.dot_general(ray_d, rec[rows:rows + 3, :],
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
 
+    bx = mdot(_M)          # [256,K] = d . M[0,:]
+    by = mdot(_M + 3)
+    bz = mdot(_M + 6)
+    ax, ay, az = _row(rec, _GRO), _row(rec, _GRO + 1), _row(rec, _GRO + 2)
+
+    cx = ay * bz - az * by
+    cy = az * bx - ax * bz
+    cz = ax * by - ay * bx
+    m = bx * bx + by * by + bz * bz
+    inv_m = 1.0 / m
+    sq_dist = (cx * cx + cy * cy + cz * cz) * inv_m
+    response = particle_response(sq_dist, cfg.kernel_degree)
+    alpha = _alpha_from_response(response, _row(rec, cfg.density_row), cfg)
+    q = ax * bx + ay * by + az * bz
+    hit_t = -q * inv_m
+    canonical = None
+    if need_canonical:
+        canonical = (ax + bx * hit_t, ay + by * hit_t, az + bz * hit_t)
+    return alpha, hit_t, canonical
+
+
+def chunk_hits_dispatch(rec, ray_o, ray_d, cfg: RasterKernelConfig):
+    need_canonical = cfg.feature_mode == "nht"
+    if cfg.shared_origin:
+        return chunk_hits_fast(rec, ray_d, cfg,
+                               need_canonical=need_canonical)
+    return chunk_hits_general(rec, ray_o, ray_d, cfg,
+                              need_canonical=need_canonical)
+
+
+# --- NHT feature evaluation ------------------------------------------------
+# canonical regular tetrahedron (neuralHarmonicFeaturesParticle.slang:47-66)
+_TETRA_EDGE = math.sqrt(24.0)
+_TETRA_FACE_IN_R = math.sqrt(2.0)
+TETRA_VERTS = (
+    (0.5 * _TETRA_EDGE, -_TETRA_FACE_IN_R, -1.0),
+    (-0.5 * _TETRA_EDGE, -_TETRA_FACE_IN_R, -1.0),
+    (0.0, _TETRA_EDGE * math.sqrt(3.0) / 2.0 - _TETRA_FACE_IN_R, -1.0),
+    (0.0, 0.0, 3.0),
+)
+
+
+def _tetra_constants():
+    import numpy as np
+
+    v = np.asarray(TETRA_VERTS)
+    e1, e2, e3 = v[1] - v[0], v[2] - v[0], v[3] - v[0]
+    c23 = np.cross(e2, e3)
+    c31 = np.cross(e3, e1)  # for w.z = e1 . (d x e3) = d . (e3 x e1)
+    c12 = np.cross(e1, e2)  # for w.w = e1 . (e2 x d) = d . (e1 x e2)... sign
+    det = float(np.dot(e1, c23))
+    return v[0], c23 / det, np.cross(e3, e1) / det, np.cross(e1, e2) / det
+
+
+_TETRA_V0, _TETRA_G1, _TETRA_G2, _TETRA_G3 = _tetra_constants()
+
+
+def tetra_barycentric(cpx, cpy, cpz):
+    """Barycentric weights in the canonical tetrahedron for [256,K] points.
+
+    matches barycentricTetrahedronCanonical
+    (neuralHarmonicFeaturesParticle.slang:127-138).
+    """
+    dx = cpx - _TETRA_V0[0]
+    dy = cpy - _TETRA_V0[1]
+    dz = cpz - _TETRA_V0[2]
+    w1 = _TETRA_G1[0] * dx + _TETRA_G1[1] * dy + _TETRA_G1[2] * dz
+    w2 = _TETRA_G2[0] * dx + _TETRA_G2[1] * dy + _TETRA_G2[2] * dz
+    w3 = _TETRA_G3[0] * dx + _TETRA_G3[1] * dy + _TETRA_G3[2] * dz
+    w0 = 1.0 - w1 - w2 - w3
+    return w0, w1, w2, w3
+
+
+def nht_feature_weighted_sum(rec, canonical, w, g_feat_or_none,
+                             cfg: RasterKernelConfig):
+    """Sum_j w_j * f_j(pixel) per pixel -> [256, F] (and per-dim hit
+    features for residuals when requested via callback-style usage).
+
+    f_j = sincos(freq * barycentric-blend of tetra control features at the
+    canonical intersection). Implemented dim-by-dim to bound VMEM.
+    """
+    cpx, cpy, cpz = canonical
+    w0, w1, w2, w3 = tetra_barycentric(cpx, cpy, cpz)
+    d = cfg.interp_pt_dim
+    base = cfg.feat_offset
+    outs = []
+    for k in range(d):
+        b = (w0 * _row(rec, base + k)
+             + w1 * _row(rec, base + d + k)
+             + w2 * _row(rec, base + 2 * d + k)
+             + w3 * _row(rec, base + 3 * d + k))     # [256,K]
+        for f in range(cfg.num_frequencies):
+            ang = b * float(f + 1)
+            outs.append(jnp.sum(w * jnp.sin(ang), axis=1, keepdims=True))
+            outs.append(jnp.sum(w * jnp.cos(ang), axis=1, keepdims=True))
+    return jnp.concatenate(outs, axis=1)             # [256, F]
+
+
+def nht_hit_features(rec, canonical, cfg: RasterKernelConfig):
+    """Per-(pair, pixel) ray features as a list of F arrays [256,K]."""
+    cpx, cpy, cpz = canonical
+    w0, w1, w2, w3 = tetra_barycentric(cpx, cpy, cpz)
+    d = cfg.interp_pt_dim
+    base = cfg.feat_offset
+    feats = []
+    for k in range(d):
+        b = (w0 * _row(rec, base + k)
+             + w1 * _row(rec, base + d + k)
+             + w2 * _row(rec, base + 2 * d + k)
+             + w3 * _row(rec, base + 3 * d + k))
+        for f in range(cfg.num_frequencies):
+            ang = b * float(f + 1)
+            feats.append(jnp.sin(ang))
+            feats.append(jnp.cos(ang))
+    return feats
+
+
+# --- prefix scans along the candidate (lane) axis ---------------------------
 
 def _prefix_product_excl(x):
-    """Exclusive prefix product along the lane axis (axis 1), static K."""
     k = x.shape[1]
     ones = jnp.ones_like(x[:, :1])
     y = jnp.concatenate([ones, x[:, :-1]], axis=1)
@@ -178,7 +360,6 @@ def _prefix_product_excl(x):
 
 
 def _cumsum_incl(x):
-    """Inclusive prefix sum along the lane axis (axis 1), static K."""
     k = x.shape[1]
     y = x
     s = 1
@@ -190,36 +371,35 @@ def _cumsum_incl(x):
     return y
 
 
-def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in, cfg_static):
+def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
+                     cfg: RasterKernelConfig):
     """One chunk of front-to-back compositing (pixel-major layout).
 
-    Returns (w [256,K] hit weights, alpha_eff, hit_t [256,K],
-    t_prev [256,K], t_out [256,1]).
+    Returns (w, alpha_eff, hit_t, t_prev [256,K], t_out [256,1], canonical).
     """
-    (kernel_degree, min_response, min_alpha, max_alpha,
-     min_transmittance, shared_origin) = cfg_static
-    if shared_origin:
-        alpha, hit_t = chunk_hits_fast(
-            rec, ray_d, kernel_degree=kernel_degree,
-            min_response=min_response, min_alpha=min_alpha,
-            max_alpha=max_alpha)
-    else:
-        alpha, hit_t = chunk_hits(
-            rec, ray_o, ray_d, kernel_degree=kernel_degree,
-            min_response=min_response, min_alpha=min_alpha,
-            max_alpha=max_alpha)
+    alpha, hit_t, canonical = chunk_hits_dispatch(rec, ray_o, ray_d, cfg)
     in_range = (hit_t > tmin) & (hit_t < tmax)
     alpha = jnp.where(in_range, alpha, 0.0)
 
     prefix = _prefix_product_excl(1.0 - alpha)        # [256,K]
     t_prev_raw = t_in * prefix
-    alive = t_prev_raw >= min_transmittance           # kill semantics
+    alive = t_prev_raw >= cfg.min_transmittance       # kill semantics
     alpha_eff = jnp.where(alive, alpha, 0.0)
     prefix_eff = _prefix_product_excl(1.0 - alpha_eff)
     t_prev = t_in * prefix_eff                        # frozen after kill
     w = alpha_eff * t_prev
     t_out = t_prev[:, -1:] * (1.0 - alpha_eff[:, -1:])
-    return w, alpha_eff, hit_t, t_prev, t_out
+    return w, alpha_eff, hit_t, t_prev, t_out, canonical
+
+
+def _accumulate_features(rec, w, canonical, cfg: RasterKernelConfig):
+    """Sum_j w_j f_j -> [256, F]."""
+    if cfg.feature_mode == "constant":
+        feats = jnp.transpose(
+            rec[cfg.feat_offset:cfg.feat_offset + cfg.feat_dim, :])  # [K,F]
+        return jax.lax.dot_general(w, feats, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    return nht_feature_weighted_sum(rec, canonical, w, None, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -227,12 +407,11 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in, cfg_static):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(tile_start_ref, records_hbm, rays_ref, out_ref,
-                chunk_buf, sem, *, cfg_static):
+                chunk_buf, sem, *, cfg: RasterKernelConfig):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     nchunks = (tile_start_ref[t + 1] - start) // CHUNK
     first = start // CHUNK
-    min_transmittance = cfg_static[4]
 
     ray_o = rays_ref[0, :, 0:3]
     ray_d = rays_ref[0, :, 3:6]
@@ -249,7 +428,7 @@ def _fwd_kernel(tile_start_ref, records_hbm, rays_ref, out_ref,
 
     def cond(state):
         i, t_cur, _, _, _ = state
-        return (i < nchunks) & (jnp.max(t_cur) >= min_transmittance)
+        return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
 
     def body(state):
         i, t_cur, feat, depth, hits = state
@@ -261,13 +440,9 @@ def _fwd_kernel(tile_start_ref, records_hbm, rays_ref, out_ref,
 
         get_dma(slot, i).wait()
         rec = chunk_buf[slot]
-        w, _, hit_t, _, t_out = _chunk_composite(
-            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg_static)
-        # features: [256,K] x [K,3] on the MXU
-        feats = jnp.transpose(rec[_FEAT:_FEAT + 3, :])            # [K,3]
-        feat = feat + jax.lax.dot_general(
-            w, feats, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [256,3]
+        w, _, hit_t, _, t_out, canonical = _chunk_composite(
+            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg)
+        feat = feat + _accumulate_features(rec, w, canonical, cfg)
         depth = depth + jnp.sum(w * hit_t, axis=1, keepdims=True)
         hits = hits + jnp.sum((w > 0.0).astype(jnp.float32), axis=1,
                               keepdims=True)
@@ -275,7 +450,7 @@ def _fwd_kernel(tile_start_ref, records_hbm, rays_ref, out_ref,
 
     init = (jnp.asarray(0, jnp.int32),
             jnp.ones((TILE_PIX, 1), jnp.float32),
-            jnp.zeros((TILE_PIX, 3), jnp.float32),
+            jnp.zeros((TILE_PIX, cfg.feat_dim), jnp.float32),
             jnp.zeros((TILE_PIX, 1), jnp.float32),
             jnp.zeros((TILE_PIX, 1), jnp.float32))
     i_end, t_fin, feat, depth, hits = jax.lax.while_loop(cond, body, init)
@@ -286,12 +461,15 @@ def _fwd_kernel(tile_start_ref, records_hbm, rays_ref, out_ref,
     def _():
         get_dma(jax.lax.rem(i_end, 2), i_end).wait()
 
-    out_ref[0, :, 0:3] = feat
-    out_ref[0, :, 3:4] = 1.0 - t_fin
-    out_ref[0, :, 4:5] = depth
-    out_ref[0, :, 5:6] = hits
-    out_ref[0, :, 6:7] = t_fin
-    out_ref[0, :, 7:8] = jnp.zeros((TILE_PIX, 1), jnp.float32)
+    f = cfg.feat_dim
+    out_ref[0, :, 0:f] = feat
+    out_ref[0, :, f:f + 1] = 1.0 - t_fin
+    out_ref[0, :, f + 1:f + 2] = depth
+    out_ref[0, :, f + 2:f + 3] = hits
+    out_ref[0, :, f + 3:f + 4] = t_fin
+    pad = cfg.out_dim - (f + 4)
+    if pad > 0:
+        out_ref[0, :, f + 4:] = jnp.zeros((TILE_PIX, pad), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -300,26 +478,27 @@ def _fwd_kernel(tile_start_ref, records_hbm, rays_ref, out_ref,
 
 def _bwd_kernel(tile_start_ref, records_hbm, rays_ref, fwd_out_ref,
                 grad_out_ref, grads_hbm,
-                chunk_buf, grad_buf, sem, out_sem, *, cfg_static):
+                chunk_buf, grad_buf, sem, out_sem, *,
+                cfg: RasterKernelConfig):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     nchunks = (tile_start_ref[t + 1] - start) // CHUNK
     first = start // CHUNK
-    min_transmittance = cfg_static[4]
+    f = cfg.feat_dim
 
     ray_o = rays_ref[0, :, 0:3]
     ray_d = rays_ref[0, :, 3:6]
     tmin = rays_ref[0, :, 6:7]
     tmax = rays_ref[0, :, 7:8]
 
-    feat_total = fwd_out_ref[0, :, 0:3]                # [256,3]
-    depth_total = fwd_out_ref[0, :, 4:5]
-    t_final = fwd_out_ref[0, :, 6:7]
+    feat_total = fwd_out_ref[0, :, 0:f]                # [256,F]
+    depth_total = fwd_out_ref[0, :, f + 1:f + 2]
+    t_final = fwd_out_ref[0, :, f + 3:f + 4]
 
-    g_feat = grad_out_ref[0, :, 0:3]
-    # lane 3 is (1 - T_final), lane 6 is T_final itself
-    g_t = grad_out_ref[0, :, 6:7] - grad_out_ref[0, :, 3:4]
-    g_depth = grad_out_ref[0, :, 4:5]
+    g_feat = grad_out_ref[0, :, 0:f]
+    # lane f is (1 - T_final), lane f+3 is T_final itself
+    g_t = grad_out_ref[0, :, f + 3:f + 4] - grad_out_ref[0, :, f:f + 1]
+    g_depth = grad_out_ref[0, :, f + 1:f + 2]
 
     def get_dma(slot, i):
         return pltpu.make_async_copy(records_hbm.at[first + i],
@@ -344,25 +523,36 @@ def _bwd_kernel(tile_start_ref, records_hbm, rays_ref, fwd_out_ref,
         rec = chunk_buf[slot]
 
         # --- replay forward chunk ---
-        w, alpha_eff, hit_t, t_prev, t_out = _chunk_composite(
-            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg_static)
-        feats = jnp.transpose(rec[_FEAT:_FEAT + 3, :])            # [K,3]
+        w, alpha_eff, hit_t, t_prev, t_out, canonical = _chunk_composite(
+            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg)
         t_after = t_prev * (1.0 - alpha_eff)
-        next_alive = t_after > min_transmittance
+        next_alive = t_after > cfg.min_transmittance
         safe_t_after = jnp.where(next_alive, t_after, 1.0)
+        active = alpha_eff > 0.0
+
+        if cfg.feature_mode == "constant":
+            hit_feats = [
+                jnp.broadcast_to(_row(rec, cfg.feat_offset + c), w.shape)
+                for c in range(f)]
+        else:
+            hit_feats = nht_hit_features(rec, canonical, cfg)
 
         # residual formulation (gaussianParticles.cuh:543-612)
-        active = alpha_eff > 0.0
         g_alpha = jnp.zeros_like(w)
-        for c in range(3):
-            f_c = rec[_FEAT + c:_FEAT + c + 1, :]                 # [1,K]
-            wf_c = w * f_c
+        sums = []
+        for c in range(f):
+            wf_c = w * hit_feats[c]
             feat_upto_c = feat_acc[:, c:c + 1] + _cumsum_incl(wf_c)
             res_c = jnp.where(next_alive,
                               (feat_total[:, c:c + 1] - feat_upto_c)
                               / safe_t_after, 0.0)
-            res_c = jnp.maximum(res_c, 0.0)
-            g_alpha = g_alpha + g_feat[:, c:c + 1] * t_prev * (f_c - res_c)
+            if cfg.feature_mode == "constant":
+                # guard valid only for non-negative (clamped SH) features
+                # (gaussianParticles.cuh:611); NHT features are signed
+                res_c = jnp.maximum(res_c, 0.0)
+            g_alpha = g_alpha + g_feat[:, c:c + 1] * t_prev * (hit_feats[c]
+                                                               - res_c)
+            sums.append(jnp.sum(wf_c, axis=1, keepdims=True))
         depth_upto = depth_acc + _cumsum_incl(w * hit_t)
         res_d = jnp.where(next_alive,
                           (depth_total - depth_upto) / safe_t_after, 0.0)
@@ -375,52 +565,39 @@ def _bwd_kernel(tile_start_ref, records_hbm, rays_ref, fwd_out_ref,
         g_alpha = jnp.where(active, g_alpha, 0.0)
         g_hit_t = jnp.where(active, g_depth * w, 0.0)
 
-        # --- pull back into record space via autodiff of chunk_hits ---
-        def hit_fn(r):
-            (kernel_degree, min_response, min_alpha, max_alpha, _,
-             shared_origin) = cfg_static
-            if shared_origin:
-                a, ht = chunk_hits_fast(
-                    r, ray_d, kernel_degree=kernel_degree,
-                    min_response=min_response, min_alpha=min_alpha,
-                    max_alpha=max_alpha)
-            else:
-                a, ht = chunk_hits(
-                    r, ray_o, ray_d, kernel_degree=kernel_degree,
-                    min_response=min_response, min_alpha=min_alpha,
-                    max_alpha=max_alpha)
-            in_range = (ht > tmin) & (ht < tmax)
-            return jnp.where(in_range, a, 0.0), ht
+        # --- pull back into record space via autodiff ---
+        w_const = jax.lax.stop_gradient(w)
 
-        _, vjp_fn = jax.vjp(hit_fn, rec)
-        (d_rec,) = vjp_fn((g_alpha, g_hit_t))
-        # feature gradient: dL/df_jc = sum_pix g_feat_c * w_j -> [3,K]
-        d_feat = jax.lax.dot_general(
-            jnp.transpose(g_feat), w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        # (concatenate instead of .at[].set: scatter is unsupported in
-        # Mosaic)
-        d_rec = jnp.concatenate([
-            d_rec[:_FEAT, :],
-            d_rec[_FEAT:_FEAT + 3, :] + d_feat,
-            d_rec[_FEAT + 3:, :],
-        ], axis=0)
+        def chunk_fn(r):
+            a, ht, canon = chunk_hits_dispatch(r, ray_o, ray_d, cfg)
+            in_range = (ht > tmin) & (ht < tmax)
+            a = jnp.where(in_range, a, 0.0)
+            if cfg.feature_mode == "constant":
+                feats_kf = jnp.transpose(
+                    r[cfg.feat_offset:cfg.feat_offset + f, :])
+                fsum = jax.lax.dot_general(
+                    w_const, feats_kf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                fsum = nht_feature_weighted_sum(r, canon, w_const, None, cfg)
+            return a, ht, fsum
+
+        _, vjp_fn = jax.vjp(chunk_fn, rec)
+        (d_rec,) = vjp_fn((g_alpha, g_hit_t, g_feat))
 
         grad_buf[:, :] = d_rec
         out_dma = pltpu.make_async_copy(grad_buf, grads_hbm.at[first + i],
                                         out_sem)
         out_dma.start()
 
-        feat_acc = feat_acc + jax.lax.dot_general(
-            w, feats, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        feat_acc = feat_acc + jnp.concatenate(sums, axis=1)
         depth_acc = depth_acc + jnp.sum(w * hit_t, axis=1, keepdims=True)
         out_dma.wait()
         return i + 1, t_out, feat_acc, depth_acc
 
     init = (jnp.asarray(0, jnp.int32),
             jnp.ones((TILE_PIX, 1), jnp.float32),
-            jnp.zeros((TILE_PIX, 3), jnp.float32),
+            jnp.zeros((TILE_PIX, f), jnp.float32),
             jnp.zeros((TILE_PIX, 1), jnp.float32))
     jax.lax.while_loop(cond, body, init)
 
@@ -429,7 +606,7 @@ def _bwd_kernel(tile_start_ref, records_hbm, rays_ref, fwd_out_ref,
 # host-side wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _pallas_forward(records, tile_start, rays, cfg_static, interpret):
+def _pallas_forward(records, tile_start, rays, cfg, interpret):
     num_tiles = rays.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -439,23 +616,25 @@ def _pallas_forward(records, tile_start, rays, cfg_static, interpret):
             pl.BlockSpec((1, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, TILE_PIX, cfg.out_dim),
+                               lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, RECORD_DIM, CHUNK), jnp.float32),
+            pltpu.VMEM((2, cfg.record_dim, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg_static=cfg_static),
+        functools.partial(_fwd_kernel, cfg=cfg),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, TILE_PIX, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, TILE_PIX, cfg.out_dim),
+                                       jnp.float32),
         interpret=interpret,
     )(tile_start, records, rays)
 
 
-def _pallas_backward(records, tile_start, rays, fwd_out, grad_out,
-                     cfg_static, interpret):
+def _pallas_backward(records, tile_start, rays, fwd_out, grad_out, cfg,
+                     interpret):
     num_tiles = rays.shape[0]
     n_chunks = records.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -465,23 +644,23 @@ def _pallas_backward(records, tile_start, rays, fwd_out, grad_out,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_PIX, cfg.out_dim),
+                         lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_PIX, cfg.out_dim),
+                         lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, RECORD_DIM, CHUNK), jnp.float32),
-            pltpu.VMEM((RECORD_DIM, CHUNK), jnp.float32),
+            pltpu.VMEM((2, cfg.record_dim, CHUNK), jnp.float32),
+            pltpu.VMEM((cfg.record_dim, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, cfg_static=cfg_static),
+        functools.partial(_bwd_kernel, cfg=cfg),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_chunks, RECORD_DIM, CHUNK),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, cfg.record_dim, CHUNK),
                                        jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -491,32 +670,30 @@ def _pallas_backward(records, tile_start, rays, fwd_out, grad_out,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def rasterize_tiles(records: jnp.ndarray, tile_start: jnp.ndarray,
-                    rays: jnp.ndarray, cfg_static: Tuple,
+                    rays: jnp.ndarray, cfg: RasterKernelConfig,
                     interpret: bool = False):
     """Composite chunk-aligned pair records over image tiles.
 
     Args:
-        records: [C, 16, CHUNK] chunked pair records (module docstring).
+        records: [C, cfg.record_dim, CHUNK] chunked pair records.
         tile_start: [T+1] int32 CHUNK-aligned segment starts (pair units).
         rays: [T, 256, 8].
-        cfg_static: (kernel_degree, min_response, min_alpha, max_alpha,
-            min_transmittance, shared_origin) - hashable static tuple;
-            shared_origin selects the fast record layout (chunk_hits_fast).
+        cfg: static RasterKernelConfig.
     Returns:
-        [T, 256, 8] composited outputs.
+        [T, 256, cfg.out_dim] composited outputs.
     """
-    return _pallas_forward(records, tile_start, rays, cfg_static, interpret)
+    return _pallas_forward(records, tile_start, rays, cfg, interpret)
 
 
-def _rasterize_fwd(records, tile_start, rays, cfg_static, interpret):
-    out = _pallas_forward(records, tile_start, rays, cfg_static, interpret)
+def _rasterize_fwd(records, tile_start, rays, cfg, interpret):
+    out = _pallas_forward(records, tile_start, rays, cfg, interpret)
     return out, (records, tile_start, rays, out)
 
 
-def _rasterize_bwd(cfg_static, interpret, saved, grad_out):
+def _rasterize_bwd(cfg, interpret, saved, grad_out):
     records, tile_start, rays, fwd_out = saved
     d_records = _pallas_backward(records, tile_start, rays, fwd_out,
-                                 grad_out, cfg_static, interpret)
+                                 grad_out, cfg, interpret)
     # the kernel writes chunks [0, tile_start[-1]/CHUNK); the tail is
     # uninitialized
     n_chunks = records.shape[0]

@@ -21,7 +21,8 @@ from ..models.gaussians import GaussianState
 from ..ops import binning as binning_ops
 from ..ops import ut as ut_ops
 from ..ops.cameras import CameraModel
-from ..ops.pallas.raster import CHUNK, RECORD_DIM, rasterize_tiles
+from ..ops.pallas.raster import (CHUNK, RasterKernelConfig,
+                                 rasterize_tiles)
 from ..ops.quaternion import quat_normalize
 from ..ops.sh import eval_sh_radiance
 from ..ops.ut import TILE_X, TILE_Y, UTConfig
@@ -69,11 +70,12 @@ def pack_rays(ray_o, ray_d, tmin, tmax, grid):
     ], axis=2)
 
 
-def unpack_tiles(out, grid, height, width):
-    """[T, 256, 8] -> [H, W, 8] (cropping padding)."""
+def unpack_tiles(out, grid, height, width, out_dim=8):
+    """[T, 256, out_dim] -> [H, W, out_dim] (cropping padding)."""
     gx, gy = grid
-    img = out.reshape(gy, gx, TILE_Y, TILE_X, 8)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(gy * TILE_Y, gx * TILE_X, 8)
+    img = out.reshape(gy, gx, TILE_Y, TILE_X, out_dim)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(gy * TILE_Y, gx * TILE_X,
+                                               out_dim)
     return img[:height, :width]
 
 
@@ -102,11 +104,22 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         cam, ut_cfg, model.params.positions, model.params.rotation,
         model.get_scale(), model.get_density()[:, 0], model.active_mask())
 
-    # per-particle radiance from the sensor->particle direction
-    # (PerRayParticleFeatures=false; gutProjector.cuh:306-310), clamped at 0
-    # like the renderer's tcnn::max(features, 0) fetch.
-    feats = eval_sh_radiance(model.sh_coeffs(), proj.view_dir, sh_degree)
-    feats = jnp.maximum(feats, 0.0)
+    nht = model.config.feature_type == "nht"
+    if nht:
+        # NHT: per-(pair, pixel) features -> raw control features ride
+        # in the records; evaluation happens in-kernel at the canonical
+        # intersection (neuralHarmonicFeaturesParticle.slang).
+        feats = model.params.features                  # [C, 4*interp_dim]
+        interp_pt_dim = feats.shape[1] // 4
+        feat_dim = interp_pt_dim * 2  # sincos, 1 frequency
+    else:
+        # per-particle radiance from the sensor->particle direction
+        # (PerRayParticleFeatures=false; gutProjector.cuh:306-310), clamped
+        # at 0 like the renderer's tcnn::max(features, 0) fetch.
+        feats = eval_sh_radiance(model.sh_coeffs(), proj.view_dir, sh_degree)
+        feats = jnp.maximum(feats, 0.0)
+        interp_pt_dim = 0
+        feat_dim = 3
 
     b = binning_ops.bin_particles(
         proj, grid, raster_cfg.max_pairs, chunk=CHUNK,
@@ -114,39 +127,50 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         alpha_threshold=ut_cfg.alpha_threshold)
 
     # the hot path (camera rays, global shutter) has one shared ray origin
-    # -> the kernel can use the factorized MXU response (chunk_hits_fast)
+    # -> the kernel can use the factorized MXU response (chunk_hits_fast).
+    # NHT needs the canonical intersection point -> general geometry.
     from ..ops.cameras import ShutterType
     shared_origin = (rays is None
                      and cam.shutter_type == int(ShutterType.GLOBAL))
 
+    kcfg = RasterKernelConfig(
+        kernel_degree=raster_cfg.kernel_degree,
+        min_response=raster_cfg.min_response,
+        min_alpha=raster_cfg.min_alpha,
+        max_alpha=raster_cfg.max_alpha,
+        min_transmittance=raster_cfg.min_transmittance,
+        shared_origin=shared_origin and not nht,
+        feature_mode="nht" if nht else "constant",
+        feat_dim=feat_dim,
+        interp_pt_dim=interp_pt_dim if nht else 12)
+
     # pair records (differentiable gather from model params), laid out as
-    # [C, 16, CHUNK] contiguous chunk blocks for single-DMA streaming
+    # [C, record_dim, CHUNK] contiguous chunk blocks for single-DMA
+    # streaming
     idx = jnp.maximum(b.pair_particle, 0)
     pad_valid = (b.pair_particle >= 0).astype(jnp.float32)[:, None]
     quats = quat_normalize(model.params.rotation)
     p_total = b.pair_particle.shape[0]
-    if shared_origin:
-        # per-particle quadratic-form precompute (see chunk_hits_fast)
+    rdim = kcfg.record_dim
+    pad_cols = rdim - kcfg.feat_offset - kcfg.particle_feat_dim
+    if kcfg.shared_origin:
+        # per-particle canonical-map precompute (see chunk_hits_fast):
+        # M = diag(1/s) R^T, a = M (o - p)
         from ..ops.quaternion import quat_to_rotmat
         from ..ops.ut import sensor_position
         origin = sensor_position(cam)
         rot = quat_to_rotmat(quats)                       # [C,3,3]
-        inv_s2 = 1.0 / jnp.square(model.get_scale())      # [C,3]
-        # A = R diag(1/s^2) R^T
-        a_full = jnp.einsum("nij,nj,nkj->nik", rot, inv_s2, rot,
-                            precision="highest")          # [C,3,3]
+        inv_s = 1.0 / model.get_scale()                   # [C,3]
+        m_mat = inv_s[:, :, None] * jnp.swapaxes(rot, 1, 2)  # [C,3,3]
         delta = origin - model.params.positions           # [C,3]
-        u = jnp.einsum("nij,nj->ni", a_full, delta,
-                       precision="highest")               # [C,3]
-        g2 = jnp.sum(u * delta, axis=1, keepdims=True)    # |M delta|^2
-        a6 = jnp.stack([a_full[:, 0, 0], a_full[:, 1, 1], a_full[:, 2, 2],
-                        a_full[:, 0, 1], a_full[:, 0, 2], a_full[:, 1, 2]],
-                       axis=1)
+        gro = jnp.einsum("nij,nj->ni", m_mat, delta,
+                         precision="highest")             # [C,3]
+        m_flat = m_mat.reshape(-1, 9)
         records = jnp.concatenate([
-            u[idx], a6[idx], g2[idx],
+            gro[idx], m_flat[idx],
             model.get_density()[idx] * pad_valid,
             feats[idx],
-            jnp.zeros((p_total, RECORD_DIM - 14), jnp.float32),
+            jnp.zeros((p_total, pad_cols), jnp.float32),
         ], axis=1)
     else:
         records = jnp.concatenate([
@@ -155,10 +179,10 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
             model.get_scale()[idx],
             model.get_density()[idx] * pad_valid,
             feats[idx],
-            jnp.zeros((p_total, RECORD_DIM - 14), jnp.float32),
+            jnp.zeros((p_total, pad_cols), jnp.float32),
         ], axis=1)
     n_chunks = p_total // CHUNK
-    records = records.reshape(n_chunks, CHUNK, RECORD_DIM).transpose(0, 2, 1)
+    records = records.reshape(n_chunks, CHUNK, rdim).transpose(0, 2, 1)
 
     # rays (padded to the tile grid; padding rays get empty t-ranges)
     if rays is None:
@@ -179,18 +203,16 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         tmax = jnp.where(is_pad, -1.0, tmax)
     rays_packed = pack_rays(ray_o, ray_d, tmin, tmax, grid)
 
-    cfg_static = (raster_cfg.kernel_degree, raster_cfg.min_response,
-                  raster_cfg.min_alpha, raster_cfg.max_alpha,
-                  raster_cfg.min_transmittance, shared_origin)
     out = rasterize_tiles(records, b.tile_start, rays_packed,
-                          cfg_static, interpret)
+                          kcfg, interpret)
 
-    img = unpack_tiles(out, grid, h, w)
+    img = unpack_tiles(out, grid, h, w, kcfg.out_dim)
+    fd = kcfg.feat_dim
     return {
-        "pred_features": img[..., 0:3],
-        "pred_opacity": img[..., 3:4],
-        "pred_dist": img[..., 4:5],
-        "hits_count": img[..., 5:6],
+        "pred_features": img[..., 0:fd],
+        "pred_opacity": img[..., fd:fd + 1],
+        "pred_dist": img[..., fd + 1:fd + 2],
+        "hits_count": img[..., fd + 2:fd + 3],
         "mog_visibility": proj.valid,
         "num_pairs": b.num_pairs,
         "pairs_overflow": b.overflow,
