@@ -85,6 +85,10 @@ class RasterKernelConfig(NamedTuple):
     # nht only:
     interp_pt_dim: int = 12            # per-tetra-vertex feature dim
     num_frequencies: int = 1           # sincos frequencies
+    # 3DGRT: re-sort each chunk per-ray by hit distance before compositing
+    # (the TPU analogue of the reference's k=16 hit buffer,
+    # gutKBufferRenderer.cuh:62-112, with a full-chunk=128 window)
+    sorted_compositing: bool = False
 
     # --- derived layout ---
     @property
@@ -344,6 +348,46 @@ def nht_hit_features(rec, canonical, cfg: RasterKernelConfig):
     return feats
 
 
+# --- per-ray chunk sorting (3DGRT ordering semantics) -----------------------
+
+def _rotl(v, s):
+    """Left-rotate along the lane axis: out[i] = v[(i + s) mod K]."""
+    s = s % v.shape[1]
+    if s == 0:
+        return v
+    return jnp.concatenate([v[:, s:], v[:, :s]], axis=1)
+
+
+def bitonic_sort_by_key(key, payloads):
+    """Per-row ascending bitonic sort of `key` [256,K], permuting payloads.
+
+    Lane-XOR partner exchange is expressed with two rotations per stage
+    (i^j == i+j when bit j of i is clear, i-j when set). K must be a power
+    of two. Differentiable (selects + rotations are linear in payloads).
+    """
+    k_total = key.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, key.shape, dimension=1)
+    k = 2
+    while k <= k_total:
+        ascending = (lane & k) == 0 if k < k_total else jnp.ones(
+            key.shape, bool)
+        j = k // 2
+        while j >= 1:
+            bit_clear = (lane & j) == 0
+            key_p = jnp.where(bit_clear, _rotl(key, j), _rotl(key, -j))
+            take_min = ascending == bit_clear
+            keep_self = jnp.where(take_min, key <= key_p, key >= key_p)
+            new_key = jnp.where(keep_self, key, key_p)
+            new_payloads = []
+            for v in payloads:
+                v_p = jnp.where(bit_clear, _rotl(v, j), _rotl(v, -j))
+                new_payloads.append(jnp.where(keep_self, v, v_p))
+            key, payloads = new_key, new_payloads
+            j //= 2
+        k *= 2
+    return key, payloads
+
+
 # --- prefix scans along the candidate (lane) axis ---------------------------
 
 def _prefix_product_excl(x):
@@ -375,11 +419,30 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
                      cfg: RasterKernelConfig):
     """One chunk of front-to-back compositing (pixel-major layout).
 
-    Returns (w, alpha_eff, hit_t, t_prev [256,K], t_out [256,1], canonical).
+    Returns (w, alpha_eff, hit_t, t_prev [256,K], t_out [256,1], canonical,
+    hit_feats): hit_feats is the per-(pair, pixel) feature list when the
+    chunk was re-sorted per ray (3DGRT) - downstream must then use the
+    sorted feature arrays instead of the record rows.
     """
     alpha, hit_t, canonical = chunk_hits_dispatch(rec, ray_o, ray_d, cfg)
     in_range = (hit_t > tmin) & (hit_t < tmax)
     alpha = jnp.where(in_range, alpha, 0.0)
+
+    hit_feats = None
+    if cfg.sorted_compositing:
+        # per-ray depth ordering within the chunk (3DGRT tracing
+        # semantics; reference k-buffer gutKBufferRenderer.cuh:62-112)
+        if cfg.feature_mode != "constant":
+            raise NotImplementedError("sorted compositing requires "
+                                      "per-particle (constant) features")
+        feats = [jnp.broadcast_to(_row(rec, cfg.feat_offset + c),
+                                  alpha.shape)
+                 for c in range(cfg.feat_dim)]
+        key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.0e38))
+        _, sorted_payloads = bitonic_sort_by_key(
+            key, [alpha, hit_t] + feats)
+        alpha, hit_t = sorted_payloads[0], sorted_payloads[1]
+        hit_feats = sorted_payloads[2:]
 
     prefix = _prefix_product_excl(1.0 - alpha)        # [256,K]
     t_prev_raw = t_in * prefix
@@ -389,11 +452,16 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
     t_prev = t_in * prefix_eff                        # frozen after kill
     w = alpha_eff * t_prev
     t_out = t_prev[:, -1:] * (1.0 - alpha_eff[:, -1:])
-    return w, alpha_eff, hit_t, t_prev, t_out, canonical
+    return w, alpha_eff, hit_t, t_prev, t_out, canonical, hit_feats
 
 
-def _accumulate_features(rec, w, canonical, cfg: RasterKernelConfig):
+def _accumulate_features(rec, w, canonical, hit_feats,
+                         cfg: RasterKernelConfig):
     """Sum_j w_j f_j -> [256, F]."""
+    if hit_feats is not None:  # sorted path: per-pixel feature order
+        return jnp.concatenate(
+            [jnp.sum(w * f, axis=1, keepdims=True) for f in hit_feats],
+            axis=1)
     if cfg.feature_mode == "constant":
         feats = jnp.transpose(
             rec[cfg.feat_offset:cfg.feat_offset + cfg.feat_dim, :])  # [K,F]
@@ -406,11 +474,11 @@ def _accumulate_features(rec, w, canonical, cfg: RasterKernelConfig):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(tile_start_ref, records_hbm, rays_ref, out_ref,
-                chunk_buf, sem, *, cfg: RasterKernelConfig):
+def _fwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
+                out_ref, chunk_buf, sem, *, cfg: RasterKernelConfig):
     t = pl.program_id(0)
     start = tile_start_ref[t]
-    nchunks = (tile_start_ref[t + 1] - start) // CHUNK
+    nchunks = tile_count_ref[t] // CHUNK
     first = start // CHUNK
 
     ray_o = rays_ref[0, :, 0:3]
@@ -440,9 +508,9 @@ def _fwd_kernel(tile_start_ref, records_hbm, rays_ref, out_ref,
 
         get_dma(slot, i).wait()
         rec = chunk_buf[slot]
-        w, _, hit_t, _, t_out, canonical = _chunk_composite(
+        w, _, hit_t, _, t_out, canonical, hit_feats = _chunk_composite(
             rec, ray_o, ray_d, tmin, tmax, t_cur, cfg)
-        feat = feat + _accumulate_features(rec, w, canonical, cfg)
+        feat = feat + _accumulate_features(rec, w, canonical, hit_feats, cfg)
         depth = depth + jnp.sum(w * hit_t, axis=1, keepdims=True)
         hits = hits + jnp.sum((w > 0.0).astype(jnp.float32), axis=1,
                               keepdims=True)
@@ -476,13 +544,13 @@ def _fwd_kernel(tile_start_ref, records_hbm, rays_ref, out_ref,
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(tile_start_ref, records_hbm, rays_ref, fwd_out_ref,
-                grad_out_ref, grads_hbm,
+def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
+                fwd_out_ref, grad_out_ref, grads_hbm,
                 chunk_buf, grad_buf, sem, out_sem, *,
                 cfg: RasterKernelConfig):
     t = pl.program_id(0)
     start = tile_start_ref[t]
-    nchunks = (tile_start_ref[t + 1] - start) // CHUNK
+    nchunks = tile_count_ref[t] // CHUNK
     first = start // CHUNK
     f = cfg.feat_dim
 
@@ -523,14 +591,17 @@ def _bwd_kernel(tile_start_ref, records_hbm, rays_ref, fwd_out_ref,
         rec = chunk_buf[slot]
 
         # --- replay forward chunk ---
-        w, alpha_eff, hit_t, t_prev, t_out, canonical = _chunk_composite(
+        (w, alpha_eff, hit_t, t_prev, t_out, canonical,
+         sorted_feats) = _chunk_composite(
             rec, ray_o, ray_d, tmin, tmax, t_cur, cfg)
         t_after = t_prev * (1.0 - alpha_eff)
         next_alive = t_after > cfg.min_transmittance
         safe_t_after = jnp.where(next_alive, t_after, 1.0)
         active = alpha_eff > 0.0
 
-        if cfg.feature_mode == "constant":
+        if sorted_feats is not None:
+            hit_feats = sorted_feats
+        elif cfg.feature_mode == "constant":
             hit_feats = [
                 jnp.broadcast_to(_row(rec, cfg.feat_offset + c), w.shape)
                 for c in range(f)]
@@ -572,7 +643,17 @@ def _bwd_kernel(tile_start_ref, records_hbm, rays_ref, fwd_out_ref,
             a, ht, canon = chunk_hits_dispatch(r, ray_o, ray_d, cfg)
             in_range = (ht > tmin) & (ht < tmax)
             a = jnp.where(in_range, a, 0.0)
-            if cfg.feature_mode == "constant":
+            if cfg.sorted_compositing:
+                fts = [jnp.broadcast_to(_row(r, cfg.feat_offset + c),
+                                        a.shape) for c in range(f)]
+                key = jnp.where(a > 0.0, ht, jnp.float32(3.0e38))
+                key = jax.lax.stop_gradient(key)
+                _, sp = bitonic_sort_by_key(key, [a, ht] + fts)
+                a, ht = sp[0], sp[1]
+                fsum = jnp.concatenate(
+                    [jnp.sum(w_const * ff, axis=1, keepdims=True)
+                     for ff in sp[2:]], axis=1)
+            elif cfg.feature_mode == "constant":
                 feats_kf = jnp.transpose(
                     r[cfg.feat_offset:cfg.feat_offset + f, :])
                 fsum = jax.lax.dot_general(
@@ -606,10 +687,10 @@ def _bwd_kernel(tile_start_ref, records_hbm, rays_ref, fwd_out_ref,
 # host-side wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _pallas_forward(records, tile_start, rays, cfg, interpret):
+def _pallas_forward(records, tile_start, tile_count, rays, cfg, interpret):
     num_tiles = rays.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -630,15 +711,15 @@ def _pallas_forward(records, tile_start, rays, cfg, interpret):
         out_shape=jax.ShapeDtypeStruct((num_tiles, TILE_PIX, cfg.out_dim),
                                        jnp.float32),
         interpret=interpret,
-    )(tile_start, records, rays)
+    )(tile_start, tile_count, records, rays)
 
 
-def _pallas_backward(records, tile_start, rays, fwd_out, grad_out, cfg,
-                     interpret):
+def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
+                     grad_out, cfg, interpret):
     num_tiles = rays.shape[0]
     n_chunks = records.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -664,43 +745,48 @@ def _pallas_backward(records, tile_start, rays, fwd_out, grad_out, cfg,
                                        jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, records, rays, fwd_out, grad_out)
+    )(tile_start, tile_count, records, rays, fwd_out, grad_out)
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def rasterize_tiles(records: jnp.ndarray, tile_start: jnp.ndarray,
-                    rays: jnp.ndarray, cfg: RasterKernelConfig,
-                    interpret: bool = False):
-    """Composite chunk-aligned pair records over image tiles.
+                    tile_count: jnp.ndarray, rays: jnp.ndarray,
+                    cfg: RasterKernelConfig, interpret: bool = False):
+    """Composite chunk-aligned pair records over ray tiles.
 
     Args:
         records: [C, cfg.record_dim, CHUNK] chunked pair records.
-        tile_start: [T+1] int32 CHUNK-aligned segment starts (pair units).
+        tile_start: [T] int32 CHUNK-aligned segment starts (pair units).
+        tile_count: [T] int32 CHUNK-aligned segment lengths. Segments must
+            be disjoint for the backward pass to be race-free (the trace()
+            API shares one segment across tiles and is forward-only).
         rays: [T, 256, 8].
         cfg: static RasterKernelConfig.
     Returns:
         [T, 256, cfg.out_dim] composited outputs.
     """
-    return _pallas_forward(records, tile_start, rays, cfg, interpret)
+    return _pallas_forward(records, tile_start, tile_count, rays, cfg,
+                           interpret)
 
 
-def _rasterize_fwd(records, tile_start, rays, cfg, interpret):
-    out = _pallas_forward(records, tile_start, rays, cfg, interpret)
-    return out, (records, tile_start, rays, out)
+def _rasterize_fwd(records, tile_start, tile_count, rays, cfg, interpret):
+    out = _pallas_forward(records, tile_start, tile_count, rays, cfg,
+                          interpret)
+    return out, (records, tile_start, tile_count, rays, out)
 
 
 def _rasterize_bwd(cfg, interpret, saved, grad_out):
-    records, tile_start, rays, fwd_out = saved
-    d_records = _pallas_backward(records, tile_start, rays, fwd_out,
-                                 grad_out, cfg, interpret)
-    # the kernel writes chunks [0, tile_start[-1]/CHUNK); the tail is
-    # uninitialized
+    records, tile_start, tile_count, rays, fwd_out = saved
+    d_records = _pallas_backward(records, tile_start, tile_count, rays,
+                                 fwd_out, grad_out, cfg, interpret)
+    # the kernel writes only segment chunks; the tail past the last
+    # segment is uninitialized
     n_chunks = records.shape[0]
-    used = (jnp.arange(n_chunks, dtype=jnp.int32)[:, None, None]
-            < tile_start[-1] // CHUNK)
+    last = (tile_start[-1] + tile_count[-1]) // CHUNK
+    used = jnp.arange(n_chunks, dtype=jnp.int32)[:, None, None] < last
     d_records = jnp.where(used, d_records, 0.0)
-    return d_records, None, None
+    return d_records, None, None, None
 
 
 rasterize_tiles.defvjp(_rasterize_fwd, _rasterize_bwd)

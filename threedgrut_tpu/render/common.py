@@ -22,6 +22,9 @@ class RasterConfig:
     t_max: float = struct.field(pytree_node=False, default=1e37)
     tile_culling: bool = struct.field(pytree_node=False, default=True)
     k_buffer_size: int = struct.field(pytree_node=False, default=0)
+    # per-ray depth re-sorting of each candidate chunk (3DGRT semantics /
+    # k_buffer_size > 0 configs)
+    sorted_compositing: bool = struct.field(pytree_node=False, default=False)
     max_pairs: int = struct.field(pytree_node=False, default=1 << 21)
     # max_pairs must stay a multiple of the kernel CHUNK (128)
 

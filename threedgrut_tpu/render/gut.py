@@ -142,7 +142,8 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         shared_origin=shared_origin and not nht,
         feature_mode="nht" if nht else "constant",
         feat_dim=feat_dim,
-        interp_pt_dim=interp_pt_dim if nht else 12)
+        interp_pt_dim=interp_pt_dim if nht else 12,
+        sorted_compositing=raster_cfg.sorted_compositing and not nht)
 
     # pair records (differentiable gather from model params), laid out as
     # [C, record_dim, CHUNK] contiguous chunk blocks for single-DMA
@@ -203,8 +204,9 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         tmax = jnp.where(is_pad, -1.0, tmax)
     rays_packed = pack_rays(ray_o, ray_d, tmin, tmax, grid)
 
-    out = rasterize_tiles(records, b.tile_start, rays_packed,
-                          kcfg, interpret)
+    tile_count = b.tile_start[1:] - b.tile_start[:-1]
+    out = rasterize_tiles(records, b.tile_start[:-1], tile_count,
+                          rays_packed, kcfg, interpret)
 
     img = unpack_tiles(out, grid, h, w, kcfg.out_dim)
     fd = kcfg.feat_dim
