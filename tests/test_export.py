@@ -1,0 +1,145 @@
+"""Export subsystem: PLY/USDA round-trips, transcode, partition, SH rot."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scene_utils import make_test_scene
+from threedgrut_tpu.export import ply as ply_mod
+from threedgrut_tpu.export import transcode, usd as usd_mod
+from threedgrut_tpu.export.partition import kd_partition
+from threedgrut_tpu.export.sh_rotation import rotate_sh_coefficients
+from threedgrut_tpu.export.transforms import estimate_normalizing_transform
+from threedgrut_tpu.ops.quaternion import quat_to_rotmat
+from threedgrut_tpu.ops.sh import eval_sh_radiance
+
+
+def _rand_attrs(n=32, deg=2, seed=0):
+    rng = np.random.default_rng(seed)
+    k = (deg + 1) ** 2
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return dict(positions=rng.normal(size=(n, 3)).astype(np.float32),
+                orientations=q,
+                scales=rng.uniform(0.01, 1.0, (n, 3)).astype(np.float32),
+                opacities=rng.uniform(0.05, 0.95, n).astype(np.float32),
+                sh_coefficients=rng.normal(size=(n, k, 3)).astype(np.float32),
+                sh_degree=deg)
+
+
+class TestPLY:
+    def test_roundtrip_model(self, tmp_path):
+        _, model = make_test_scene(n=24, capacity=32)
+        path = str(tmp_path / "m.ply")
+        ply_mod.export_model(model, path)
+        back = ply_mod.import_model(path)
+        n = int(model.n_active)
+        for name in ["positions", "rotation", "scale", "density",
+                     "features_albedo", "features_specular"]:
+            a = np.asarray(getattr(model.params, name)[:n])
+            b = np.asarray(getattr(back.params, name)[:n])
+            np.testing.assert_allclose(a, b, atol=1e-6, err_msg=name)
+        assert int(back.n_active) == n
+
+
+class TestUSDA:
+    def test_roundtrip(self, tmp_path):
+        attrs = _rand_attrs()
+        path = str(tmp_path / "a.usda")
+        usd_mod.export_usda(path, attrs, sh_degree=2,
+                            cameras=[{"transform": np.eye(4), "focal": 50}],
+                            background_color=np.array([0, 0, 0]))
+        back = usd_mod.import_usda(path)
+        for k in ["positions", "orientations", "scales", "opacities",
+                  "sh_coefficients"]:
+            np.testing.assert_allclose(back[k], attrs[k], atol=1e-4,
+                                       err_msg=k)
+        assert back["sh_degree"] == 2
+
+    def test_binary_gated(self, tmp_path):
+        with pytest.raises(NotImplementedError):
+            usd_mod.export_usda(str(tmp_path / "a.usdz"), _rand_attrs(), 2)
+
+
+class TestTranscode:
+    def test_ply_to_usda_roundtrip(self, tmp_path):
+        attrs = _rand_attrs(seed=1)
+        p_ply = str(tmp_path / "a.ply")
+        p_usda = str(tmp_path / "b.usda")
+        p_ply2 = str(tmp_path / "c.ply")
+        transcode.save_any(p_ply, attrs)
+        transcode.transcode([p_ply], p_usda)
+        transcode.transcode([p_usda], p_ply2)
+        back = transcode.load_any(p_ply2)
+        for k in ["positions", "scales", "opacities"]:
+            np.testing.assert_allclose(back[k], attrs[k], atol=1e-3,
+                                       rtol=1e-3, err_msg=k)
+
+    def test_merge(self, tmp_path):
+        a = _rand_attrs(n=8, seed=2)
+        b = _rand_attrs(n=8, seed=3)
+        m = transcode.merge([a, b])
+        assert m["positions"].shape[0] == 16
+
+    def test_partitioned_output(self, tmp_path):
+        attrs = _rand_attrs(n=64, seed=4)
+        out = str(tmp_path / "p.usda")
+        written = transcode.transcode(
+            [], output=out, max_particles_per_partition=16) \
+            if False else None
+        p_in = str(tmp_path / "in.ply")
+        transcode.save_any(p_in, attrs)
+        written = transcode.transcode([p_in], out,
+                                      max_particles_per_partition=16)
+        assert len(written) >= 4
+        manifest = json.load(open(str(tmp_path / "p_partitions.json")))
+        assert manifest["num_partitions"] == len(written)
+        total = sum(p["num_gaussians"] for p in manifest["partitions"])
+        assert total == 64
+
+
+class TestPartition:
+    def test_invariants(self):
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(1000, 3)).astype(np.float32)
+        parts = kd_partition(pts, max_particles=100)
+        idx = np.concatenate([p.indices for p in parts])
+        assert len(idx) == 1000 and len(np.unique(idx)) == 1000
+        assert all(p.num_gaussians <= 100 for p in parts)
+
+
+class TestSHRotation:
+    def test_radiance_rotates_with_geometry(self):
+        rng = np.random.default_rng(0)
+        deg = 3
+        coeffs = rng.normal(size=(4, 16, 3)).astype(np.float32)
+        # rotation: 90deg about z
+        q = np.array([np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)],
+                     np.float32)
+        rot = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+        rotated = rotate_sh_coefficients(coeffs, rot, deg)
+        dirs = rng.normal(size=(10, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        # radiance of rotated coeffs at R d == original at d
+        a = np.asarray(eval_sh_radiance(jnp.asarray(rotated)[:, None],
+                                        jnp.asarray(dirs @ rot.T)[None],
+                                        deg, clamped=False))
+        b = np.asarray(eval_sh_radiance(jnp.asarray(coeffs)[:, None],
+                                        jnp.asarray(dirs)[None], deg,
+                                        clamped=False))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+class TestNormalizingTransform:
+    def test_normalizes_spread(self):
+        rng = np.random.default_rng(0)
+        poses = np.tile(np.eye(4, dtype=np.float64), (20, 1, 1))
+        poses[:, :3, 3] = rng.normal(3.0, 2.0, (20, 3))
+        t = estimate_normalizing_transform(poses)
+        centers = poses[:, :3, 3] @ t[:3, :3].T + t[:3, 3]
+        med = np.median(np.linalg.norm(
+            centers - np.median(centers, 0), axis=1))
+        np.testing.assert_allclose(med, 1.0, rtol=0.15)

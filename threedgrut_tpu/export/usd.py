@@ -1,0 +1,156 @@
+"""USD ParticleField export/import without a pxr dependency.
+
+The reference writes `UsdVol ParticleField3DGaussianSplat` prims with
+post-activation attributes (threedgrut/export/usd/writers/lightfield.py:
+positions / orientations / scales / opacities /
+radianceSphericalHarmonicsDegree+Coefficients, projection/sorting mode
+hints, extent). ``pxr`` is not available in this environment, so this
+module emits the ASCII ``.usda`` encoding directly (usda is a first-class
+USD format readable by any USD runtime) and parses it back. Binary
+.usdc/.usdz output is gated on pxr and raises a clear error.
+
+Cameras are exported as UsdGeom Camera prims with transforms + focal
+attributes (export/usd/writers/camera.py equivalent).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _fmt_floats(arr: np.ndarray, per: int) -> str:
+    flat = np.asarray(arr, np.float32).reshape(-1, per)
+    if per == 1:
+        return "[" + ", ".join(f"{v[0]:.7g}" for v in flat) + "]"
+    return "[" + ", ".join(
+        "(" + ", ".join(f"{x:.7g}" for x in row) + ")" for row in flat) + "]"
+
+
+def export_usda(path: str, attrs: Dict[str, np.ndarray], sh_degree: int,
+                cameras: Optional[List[dict]] = None,
+                background_color: Optional[np.ndarray] = None,
+                sorting_mode_hint: str = "cameraDistance",
+                up_axis: str = "Y"):
+    """Write post-activation gaussian attributes as a USDA stage.
+
+    attrs: positions [N,3], orientations [N,4] (wxyz, normalized),
+    scales [N,3] (post-activation), opacities [N], sh_coefficients
+    [N,K,3].
+    """
+    pos = np.asarray(attrs["positions"], np.float32)
+    n = pos.shape[0]
+    mn, mx = pos.min(0), pos.max(0)
+    sh = np.asarray(attrs["sh_coefficients"], np.float32)
+    k = sh.shape[1]
+
+    out = io.StringIO()
+    out.write('#usda 1.0\n(\n    defaultPrim = "World"\n'
+              f'    upAxis = "{up_axis}"\n    metersPerUnit = 1\n)\n\n')
+    out.write('def Xform "World"\n{\n')
+    out.write('    def ParticleField3DGaussianSplat "gauss"\n    {\n')
+    out.write(f'        float3[] extent = [({mn[0]:.6g}, {mn[1]:.6g}, '
+              f'{mn[2]:.6g}), ({mx[0]:.6g}, {mx[1]:.6g}, {mx[2]:.6g})]\n')
+    out.write(f'        int numParticles = {n}\n')
+    out.write(f'        token sortingModeHint = "{sorting_mode_hint}"\n')
+    out.write('        point3f[] positions = '
+              + _fmt_floats(pos, 3) + "\n")
+    out.write('        quatf[] orientations = '
+              + _fmt_floats(attrs["orientations"], 4) + "\n")
+    out.write('        float3[] scales = '
+              + _fmt_floats(attrs["scales"], 3) + "\n")
+    out.write('        float[] opacities = '
+              + _fmt_floats(np.asarray(attrs["opacities"]).reshape(-1, 1), 1)
+              + "\n")
+    out.write(f'        int radianceSphericalHarmonicsDegree = {sh_degree}\n')
+    out.write('        float[] radianceSphericalHarmonicsCoefficients = '
+              + _fmt_floats(sh.reshape(-1, 1), 1) + "\n")
+    out.write('    }\n')
+
+    if background_color is not None:
+        bg = np.asarray(background_color, np.float32)
+        out.write('    def Scope "Render"\n    {\n')
+        out.write(f'        custom float3 backgroundColor = '
+                  f'({bg[0]:.6g}, {bg[1]:.6g}, {bg[2]:.6g})\n')
+        out.write('    }\n')
+
+    for i, cam in enumerate(cameras or []):
+        t = np.asarray(cam["transform"], np.float64)
+        rows = ", ".join(
+            "(" + ", ".join(f"{v:.9g}" for v in t[r]) + ")" for r in range(4))
+        out.write(f'    def Camera "camera_{i}"\n    {{\n')
+        out.write(f'        matrix4d xformOp:transform = ( {rows} )\n')
+        out.write('        uniform token[] xformOpOrder = '
+                  '["xformOp:transform"]\n')
+        out.write(f'        float focalLength = {cam.get("focal", 35.0):.6g}\n')
+        out.write(f'        float horizontalAperture = '
+                  f'{cam.get("h_aperture", 36.0):.6g}\n')
+        out.write(f'        float verticalAperture = '
+                  f'{cam.get("v_aperture", 24.0):.6g}\n')
+        out.write('    }\n')
+
+    out.write('}\n')
+    if path.endswith((".usdc", ".usdz")):
+        raise NotImplementedError(
+            "binary USD output requires the pxr runtime (unavailable); "
+            "write .usda instead")
+    with open(path, "w") as f:
+        f.write(out.getvalue())
+
+
+def _parse_tuple_array(text: str, per: int) -> np.ndarray:
+    vals = [float(v) for v in
+            text.replace("(", " ").replace(")", " ").replace(",", " ")
+            .split()]
+    return np.asarray(vals, np.float32).reshape(-1, per)
+
+
+def import_usda(path: str) -> dict:
+    """Parse a ParticleField3DGaussianSplat usda (as written above)."""
+    with open(path) as f:
+        text = f.read()
+
+    def grab(name):
+        i = text.index(name)
+        start = text.index("[", i)
+        depth = 0
+        for j in range(start, len(text)):
+            if text[j] == "[":
+                depth += 1
+            elif text[j] == "]":
+                depth -= 1
+                if depth == 0:
+                    return text[start + 1:j]
+        raise ValueError(f"unterminated array for {name}")
+
+    positions = _parse_tuple_array(grab("point3f[] positions"), 3)
+    orientations = _parse_tuple_array(grab("quatf[] orientations"), 4)
+    scales = _parse_tuple_array(grab("float3[] scales"), 3)
+    opacities = _parse_tuple_array(grab("float[] opacities"), 1)[:, 0]
+    sh_flat = _parse_tuple_array(
+        grab("float[] radianceSphericalHarmonicsCoefficients"), 1)[:, 0]
+    deg_key = "int radianceSphericalHarmonicsDegree ="
+    deg = int(text[text.index(deg_key) + len(deg_key):].split()[0])
+    n = positions.shape[0]
+    k = (deg + 1) ** 2
+    sh = sh_flat.reshape(n, k, 3)
+    return dict(positions=positions, orientations=orientations,
+                scales=scales, opacities=opacities, sh_coefficients=sh,
+                sh_degree=deg)
+
+
+def export_model_usda(state, path: str, cameras=None, **kw):
+    """Export a GaussianState's live particles (post-activation)."""
+    n = int(state.n_active)
+    attrs = dict(
+        positions=np.asarray(state.params.positions[:n]),
+        orientations=np.asarray(state.get_rotation()[:n]),
+        scales=np.asarray(state.get_scale()[:n]),
+        opacities=np.asarray(state.get_density()[:n, 0]),
+        sh_coefficients=np.asarray(state.sh_coeffs()[:n]),
+    )
+    export_usda(path, attrs, sh_degree=state.config.max_sh_degree,
+                cameras=cameras, **kw)

@@ -7,11 +7,17 @@ with a fixed-capacity, sync-free XLA program:
 1. particles are depth-sorted once ([N] sort, so within-tile order after a
    *stable* tile sort equals the reference's global-Z order),
 2. (particle, tile) pairs are materialized into a fixed ``max_pairs``
-   buffer via a searchsorted expansion (no scatter, no dynamic shapes);
-   overflow drops the *farthest* particles and is reported as a counter,
+   buffer; overflow drops the *farthest* particles and is reported,
 3. per-pair tile culling (gutProjector.cuh:49-78) marks pairs invalid
    instead of compacting them - invalid pairs sort to the end,
-4. a stable sort by tile id + per-tile ranges via searchsorted.
+4. a stable sort by tile id + chunk-aligned per-tile segments.
+
+TPU-specific design: XLA lowers random gathers/scatters to scalar loops
+(~10 ms per 2M-row gather on v5e), so the expansion avoids per-pair
+gathers entirely. All per-particle values a pair needs are scattered once
+(N rows) to each particle's segment-start slot and then propagated with a
+single segmented forward-fill (associative_scan with a "keep last valid"
+operator) - one O(P log P) vectorized pass instead of ~10 scalar gathers.
 """
 
 from __future__ import annotations
@@ -36,8 +42,25 @@ def total_pair_slots(max_pairs: int, tile_grid, chunk: int) -> int:
     return max_pairs + tile_grid[0] * tile_grid[1] * chunk
 
 
+def _forward_fill(vals: jnp.ndarray, mask: jnp.ndarray):
+    """Segmented forward-fill: propagate the last row with mask=True.
+
+    vals: [P, D]; mask: [P] bool (True at segment starts). Rows before the
+    first marked row keep their original value.
+    """
+    m = mask[:, None]
+
+    def combine(a, b):
+        va, ma = a
+        vb, mb = b
+        return jnp.where(mb, vb, va), ma | mb
+
+    filled, _ = jax.lax.associative_scan(combine, (vals, m), axis=0)
+    return filled
+
+
 def bin_particles(proj: Projection, tile_grid, max_pairs: int,
-                  chunk: int = 32, tile_culling: bool = True,
+                  chunk: int = 128, tile_culling: bool = True,
                   alpha_threshold: float = 1.0 / 255.0) -> Binning:
     """Bin projected particles into per-tile depth-ordered pair lists.
 
@@ -53,13 +76,13 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
     # tile bbox + counts (invalid particles project to empty boxes)
     inv_tx = 1.0 / TILE_X
     inv_ty = 1.0 / TILE_Y
-    lo_x = jnp.clip(jnp.floor((proj.center[:, 0] - 0.5 - proj.extent[:, 0]) * inv_tx), 0, gx).astype(jnp.int32)
-    lo_y = jnp.clip(jnp.floor((proj.center[:, 1] - 0.5 - proj.extent[:, 1]) * inv_ty), 0, gy).astype(jnp.int32)
-    hi_x = jnp.clip(jnp.ceil((proj.center[:, 0] - 0.5 + proj.extent[:, 0]) * inv_tx), 0, gx).astype(jnp.int32)
-    hi_y = jnp.clip(jnp.ceil((proj.center[:, 1] - 0.5 + proj.extent[:, 1]) * inv_ty), 0, gy).astype(jnp.int32)
-    width = jnp.maximum(hi_x - lo_x, 0)
-    height = jnp.maximum(hi_y - lo_y, 0)
-    counts = jnp.where(proj.valid, width * height, 0)
+    lo_x = jnp.clip(jnp.floor((proj.center[:, 0] - 0.5 - proj.extent[:, 0]) * inv_tx), 0, gx)
+    lo_y = jnp.clip(jnp.floor((proj.center[:, 1] - 0.5 - proj.extent[:, 1]) * inv_ty), 0, gy)
+    hi_x = jnp.clip(jnp.ceil((proj.center[:, 0] - 0.5 + proj.extent[:, 0]) * inv_tx), 0, gx)
+    hi_y = jnp.clip(jnp.ceil((proj.center[:, 1] - 0.5 + proj.extent[:, 1]) * inv_ty), 0, gy)
+    width = jnp.maximum(hi_x - lo_x, 0.0)
+    counts = jnp.where(proj.valid, (width * jnp.maximum(hi_y - lo_y, 0.0)),
+                       0.0).astype(jnp.int32)
 
     # depth-sort particles so pair emission order == global Z order
     depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
@@ -67,37 +90,47 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
     counts_sorted = counts[order]
     offsets = jnp.cumsum(counts_sorted)          # inclusive
     total = offsets[-1]
-    excl = offsets - counts_sorted               # exclusive
+    excl = (offsets - counts_sorted).astype(jnp.int32)
 
-    # expansion: pair j belongs to the sorted particle whose range
-    # [excl_i, excl_i + count_i) contains j. Equivalent to
-    # searchsorted(offsets, j, 'right') but computed with one scatter +
-    # cummax instead of a binary-search gather loop (which is ~10x slower
-    # on TPU): mark each nonempty particle's range start with its index,
-    # then forward-fill.
-    pair_j = jnp.arange(max_pairs, dtype=jnp.int32)
+    # --- gather-free expansion ------------------------------------------
+    # every per-particle value a pair needs rides one [N, D] row scattered
+    # to the particle's first pair slot, then forward-filled
+    max_power = jnp.log(jnp.maximum(proj.opacity, 1e-30) / alpha_threshold)
+    per_particle = jnp.stack([
+        lo_x[order], lo_y[order], width[order],
+        excl.astype(jnp.float32),
+        order.astype(jnp.float32),
+        proj.conic[order, 0], proj.conic[order, 1], proj.conic[order, 2],
+        proj.center[order, 0], proj.center[order, 1],
+        max_power[order],
+    ], axis=1)                                   # [N, 11]
+
     nonempty = counts_sorted > 0
-    markers = jnp.zeros(max_pairs, jnp.int32).at[
-        jnp.where(nonempty, excl, max_pairs)].max(
-        jnp.arange(n, dtype=jnp.int32) + 1, mode="drop")
-    src = jax.lax.cummax(markers) - 1
-    src = jnp.clip(src, 0, n - 1)
+    start_slot = jnp.where(nonempty, excl, max_pairs)
+    vals = jnp.zeros((max_pairs, per_particle.shape[1]), jnp.float32)
+    vals = vals.at[start_slot].set(per_particle, mode="drop")
+    mask = jnp.zeros(max_pairs, bool).at[start_slot].set(True, mode="drop")
+    vals = _forward_fill(vals, mask)
+
+    pair_j = jnp.arange(max_pairs, dtype=jnp.int32)
     in_range = pair_j < jnp.minimum(total, max_pairs)
-    rank = pair_j - excl[src]
-    w_src = jnp.maximum(width[order][src], 1)
-    tx = lo_x[order][src] + rank % w_src
-    ty = lo_y[order][src] + rank // w_src
-    pair_particle = order[src]
-    pair_tile = jnp.where(in_range, ty * gx + tx, num_tiles)
+    rank = pair_j.astype(jnp.float32) - vals[:, 3]
+    w_src = jnp.maximum(vals[:, 2], 1.0)
+    # decode bbox-local tile coordinates (float math is exact: all values
+    # are small integers < 2^24)
+    ry = jnp.floor(rank / w_src)
+    rx = rank - ry * w_src
+    tx = vals[:, 0] + rx
+    ty = vals[:, 1] + ry
+    pair_particle = vals[:, 4].astype(jnp.int32)
+    pair_tile = jnp.where(in_range,
+                          (ty * gx + tx).astype(jnp.int32), num_tiles)
 
     if tile_culling:
-        tile_xy = jnp.stack([tx, ty], axis=-1).astype(jnp.float32)
+        tile_xy = jnp.stack([tx, ty], axis=-1)
         power = tile_min_power_response(
-            tile_xy, proj.conic[pair_particle], proj.opacity[pair_particle],
-            proj.center[pair_particle])
-        max_power = jnp.log(
-            jnp.maximum(proj.opacity[pair_particle], 1e-30) / alpha_threshold)
-        keep = power < max_power
+            tile_xy, vals[:, 5:8], None, vals[:, 8:10])
+        keep = power < vals[:, 10]
         pair_tile = jnp.where(in_range & keep, pair_tile, num_tiles)
 
     # stable sort by tile id; depth order within tile is preserved
@@ -108,25 +141,34 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
         pair_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    # chunk-aligned re-layout: tile t occupies
-    # [aligned_start[t], aligned_start[t] + ceil(count_t / chunk) * chunk)
-    counts = raw_start[1:] - raw_start[:-1]                       # [T]
-    padded = ((counts + chunk - 1) // chunk) * chunk
+    # chunk-aligned re-layout via forward-fill + one monotone gather:
+    # dest-slot s of tile t maps to source pair raw_start[t] + local rank
+    tile_counts = raw_start[1:] - raw_start[:-1]                  # [T]
+    padded = ((tile_counts + chunk - 1) // chunk) * chunk
     aligned_start = jnp.concatenate([
         jnp.zeros(1, jnp.int32), jnp.cumsum(padded).astype(jnp.int32)])
 
     p_total = total_pair_slots(max_pairs, tile_grid, chunk)
-    pair_j2 = jnp.arange(pair_tile.shape[0], dtype=jnp.int32)
-    tile_clip = jnp.minimum(pair_tile, num_tiles - 1)
-    rank_in_tile = pair_j2 - raw_start[tile_clip]
-    dest = jnp.where(pair_tile < num_tiles,
-                     aligned_start[tile_clip] + rank_in_tile, p_total)
-    aligned_particle = jnp.full(p_total, -1, jnp.int32).at[dest].set(
-        pair_particle.astype(jnp.int32), mode="drop")
+    slot = jnp.arange(p_total, dtype=jnp.int32)
+    seg_vals = jnp.stack([
+        aligned_start[:-1].astype(jnp.float32),
+        raw_start[:-1].astype(jnp.float32),
+        tile_counts.astype(jnp.float32),
+    ], axis=1)                                                    # [T, 3]
+    seg_slot = jnp.where(padded > 0, aligned_start[:-1], p_total)
+    svals = jnp.zeros((p_total, 3), jnp.float32)
+    svals = svals.at[seg_slot].set(seg_vals, mode="drop")
+    smask = jnp.zeros(p_total, bool).at[seg_slot].set(True, mode="drop")
+    svals = _forward_fill(svals, smask)
+    local = slot.astype(jnp.float32) - svals[:, 0]
+    src_pair = (svals[:, 1] + local).astype(jnp.int32)
+    slot_valid = smask_any = (local < svals[:, 2]) & (local >= 0.0)
+    aligned_particle = jnp.where(
+        slot_valid, pair_particle[jnp.minimum(src_pair, max_pairs - 1)], -1)
 
     num_pairs = jnp.sum((pair_tile < num_tiles).astype(jnp.int32))
     overflow = jnp.maximum(total - max_pairs, 0)
-    return Binning(pair_particle=aligned_particle,
+    return Binning(pair_particle=aligned_particle.astype(jnp.int32),
                    tile_start=aligned_start,
                    num_pairs=num_pairs,
                    overflow=overflow.astype(jnp.int32))
