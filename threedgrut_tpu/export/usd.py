@@ -115,7 +115,8 @@ def import_usda(path: str) -> dict:
 
     def grab(name):
         i = text.index(name)
-        start = text.index("[", i)
+        eq = text.index("=", i + len(name))
+        start = text.index("[", eq)
         depth = 0
         for j in range(start, len(text)):
             if text[j] == "[":
