@@ -1,0 +1,223 @@
+"""Hybrid 3DGRUT playground engine (headless).
+
+TPU redesign of threedgrut_playground/engine.py (Engine3DGRUT) + the
+hybrid OptiX path tracer (src/kernels/cuda/playgroundKernel.cu:39-288):
+primary rays are rasterized/traced against the Gaussian mixture, mesh
+primitives (glass / mirror / diffuse / PBR) are intersected analytically,
+and secondary rays alternate mesh closest-hits with volumetric Gaussian
+segment integration. Environment maps shade misses; depth-of-field and
+SPP accumulation use a jittered aperture.
+
+All per-bounce work is batched over every pixel (no per-ray recursion):
+a fixed MAX_BOUNCES loop with masked state updates - the XLA-friendly
+reformulation of the CUDA while-loop path tracer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gaussians import GaussianState
+from ..render.grt import trace
+from .mesh import Mesh, TriangleSoup
+
+
+@dataclasses.dataclass
+class PBRMaterial:
+    """threedgrut_playground/engine.py:98 (PBRMaterial) equivalent."""
+    kind: str = "diffuse"          # diffuse | mirror | glass | pbr
+    base_color: tuple = (0.8, 0.8, 0.8)
+    roughness: float = 0.4
+    metallic: float = 0.0
+    ior: float = 1.45
+    emissive: tuple = (0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    max_bounces: int = 4
+    spp: int = 1
+    aperture: float = 0.0          # depth of field (0 = pinhole)
+    focus_distance: float = 3.0
+    use_envmap: bool = True
+    gaussian_sh_degree: int = 3
+
+
+class EnvironmentMap:
+    """Lat-long HDR environment lookup (engine.py envmap path)."""
+
+    def __init__(self, image: Optional[np.ndarray] = None,
+                 constant=(0.5, 0.6, 0.8)):
+        if image is None:
+            self.image = None
+            self.constant = jnp.asarray(constant, jnp.float32)
+        else:
+            self.image = jnp.asarray(image, jnp.float32)
+            self.constant = None
+
+    def sample(self, dirs: jnp.ndarray) -> jnp.ndarray:
+        if self.image is None:
+            return jnp.broadcast_to(self.constant, dirs.shape[:-1] + (3,))
+        h, w = self.image.shape[:2]
+        u = (jnp.arctan2(dirs[..., 0], dirs[..., 2]) / (2 * jnp.pi) + 0.5)
+        v = jnp.arccos(jnp.clip(dirs[..., 1], -1, 1)) / jnp.pi
+        x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        return self.image[y, x]
+
+
+def _reflect(d, n):
+    return d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+
+
+def _refract(d, n, eta):
+    """Refract d through normal n with relative IOR eta; falls back to
+    reflection on total internal reflection."""
+    cos_i = -jnp.sum(d * n, axis=-1, keepdims=True)
+    sin2_t = eta * eta * (1.0 - cos_i * cos_i)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    refr = eta * d + (eta * cos_i - cos_t) * n
+    return jnp.where(tir, _reflect(d, n), refr), tir
+
+
+class Engine3DGRUT:
+    """Headless hybrid renderer over a GaussianState + mesh primitives."""
+
+    def __init__(self, model: GaussianState,
+                 config: Optional[EngineConfig] = None,
+                 envmap: Optional[EnvironmentMap] = None):
+        self.model = model
+        self.config = config or EngineConfig()
+        self.envmap = envmap or EnvironmentMap()
+        self.meshes: List[Mesh] = []
+        self.materials: List[PBRMaterial] = [PBRMaterial()]
+        self._soup = None
+
+    # --- primitives registry (engine.py:264 Primitives) ----------------
+    def add_primitive(self, mesh: Mesh, material: PBRMaterial):
+        mesh.material_id = len(self.materials)
+        self.materials.append(material)
+        self.meshes.append(mesh)
+        self._soup = None
+
+    def _get_soup(self) -> TriangleSoup:
+        if self._soup is None:
+            self._soup = TriangleSoup(self.meshes)
+        return self._soup
+
+    def _material_arrays(self):
+        mats = self.materials
+        return dict(
+            kind=jnp.asarray([{"diffuse": 0, "mirror": 1, "glass": 2,
+                               "pbr": 3}[m.kind] for m in mats]),
+            base_color=jnp.asarray([m.base_color for m in mats],
+                                   jnp.float32),
+            roughness=jnp.asarray([m.roughness for m in mats], jnp.float32),
+            metallic=jnp.asarray([m.metallic for m in mats], jnp.float32),
+            ior=jnp.asarray([m.ior for m in mats], jnp.float32),
+            emissive=jnp.asarray([m.emissive for m in mats], jnp.float32),
+        )
+
+    # --- rendering ------------------------------------------------------
+    def render_rays(self, ray_o: jnp.ndarray, ray_d: jnp.ndarray,
+                    key=None) -> jnp.ndarray:
+        """Path-trace a flat batch of rays -> RGB [R, 3]."""
+        cfg = self.config
+        soup = self._get_soup()
+        mats = self._material_arrays()
+        r = ray_o.shape[0]
+
+        radiance = jnp.zeros((r, 3))
+        throughput = jnp.ones((r, 3))
+        alive = jnp.ones(r, bool)
+        o, d = ray_o, ray_d
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        for bounce in range(cfg.max_bounces):
+            t_hit, tri, normal, mat_id = soup.closest_hit(o, d)
+            # volumetric gaussians along [eps, t_hit]
+            gs = trace(self.model, o, d,
+                       sh_degree=cfg.gaussian_sh_degree,
+                       t_min=1e-4, t_max=t_hit)
+            vol_rgb = gs["pred_features"]
+            vol_alpha = gs["pred_opacity"][:, 0]
+            radiance = radiance + jnp.where(
+                alive[:, None], throughput * vol_rgb, 0.0)
+            throughput = throughput * jnp.where(
+                alive[:, None], (1.0 - vol_alpha)[:, None], 1.0)
+
+            miss = mat_id < 0
+            env = self.envmap.sample(d)
+            radiance = radiance + jnp.where(
+                (alive & miss)[:, None], throughput * env, 0.0)
+            alive = alive & ~miss
+
+            # mesh interaction
+            m = jnp.maximum(mat_id, 0)
+            kind = mats["kind"][m]
+            base = mats["base_color"][m]
+            emissive = mats["emissive"][m]
+            radiance = radiance + jnp.where(alive[:, None],
+                                            throughput * emissive, 0.0)
+
+            hit_p = o + d * t_hit[:, None]
+            # glass: refract through the surface (relative IOR by side)
+            eta = 1.0 / mats["ior"][m]
+            refr_d, _ = _refract(d, normal, eta[:, None])
+            refl_d = _reflect(d, normal)
+            # diffuse/pbr terminate with env-lit base color (single-bounce
+            # approximation of the reference's cosine scatter)
+            n_dot = jnp.abs(jnp.sum(normal * d, axis=-1, keepdims=True))
+            diffuse_rgb = base * self.envmap.sample(normal) * n_dot
+            is_glass = kind == 2
+            is_mirror = kind == 1
+            is_spec = is_glass | is_mirror
+
+            radiance = radiance + jnp.where(
+                (alive & ~is_spec)[:, None], throughput * diffuse_rgb, 0.0)
+            alive = alive & is_spec
+
+            new_d = jnp.where(is_glass[:, None], refr_d, refl_d)
+            new_d = new_d / jnp.maximum(
+                jnp.linalg.norm(new_d, axis=-1, keepdims=True), 1e-12)
+            o = hit_p + new_d * 1e-3
+            d = new_d
+            throughput = throughput * jnp.where(
+                alive[:, None], base, 1.0)
+
+        # leftover specular paths: shade with env
+        radiance = radiance + jnp.where(alive[:, None],
+                                        throughput * self.envmap.sample(d),
+                                        0.0)
+        return radiance
+
+    def render(self, cam, key=None) -> np.ndarray:
+        """Render a full camera frame with SPP accumulation + DoF."""
+        from ..render.common import camera_rays_world
+
+        cfg = self.config
+        key = key if key is not None else jax.random.PRNGKey(0)
+        ro, rd = camera_rays_world(cam)
+        h, w = ro.shape[:2]
+        acc = jnp.zeros((h * w, 3))
+        for s in range(cfg.spp):
+            key, k1, k2 = jax.random.split(key, 3)
+            o = ro.reshape(-1, 3)
+            d = rd.reshape(-1, 3)
+            if cfg.aperture > 0.0:
+                # thin-lens DoF (engine.py DoF path)
+                focus_p = o + d * cfg.focus_distance
+                jitter = (jax.random.uniform(k1, (h * w, 2)) - 0.5) \
+                    * cfg.aperture
+                o = o.at[:, 0:2].add(jitter)
+                d = focus_p - o
+                d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            acc = acc + self.render_rays(o, d, key=k2)
+        img = (acc / cfg.spp).reshape(h, w, 3)
+        return np.asarray(jnp.clip(img, 0.0, 1.0))

@@ -1,0 +1,149 @@
+"""Triangle meshes for the hybrid playground renderer.
+
+Replaces the reference's OptiX mesh GAS + kaolin/pygltflib loaders
+(threedgrut_playground/src/hybridTracer.cpp, utils/mesh_io) with a
+self-contained OBJ parser and a fully vectorized Moller-Trumbore
+closest-hit over the triangle soup (JAX: [R rays] x [T tris] - playground
+meshes are small, so the dense test maps cleanly onto the VPU/MXU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class Mesh:
+    vertices: np.ndarray    # [V, 3]
+    faces: np.ndarray       # [F, 3] int32
+    material_id: int = 0
+
+    @property
+    def num_faces(self):
+        return len(self.faces)
+
+
+def load_obj(path: str, material_id: int = 0) -> Mesh:
+    """Minimal OBJ parser: v / f lines (triangulates polygons as fans)."""
+    verts: List[List[float]] = []
+    faces: List[List[int]] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) for p in parts[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return Mesh(vertices=np.asarray(verts, np.float32),
+                faces=np.asarray(faces, np.int32), material_id=material_id)
+
+
+def make_box(center, size, material_id: int = 0) -> Mesh:
+    c = np.asarray(center, np.float32)
+    s = np.asarray(size, np.float32) / 2
+    corners = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                        for sz in (-1, 1)], np.float32) * s + c
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1), (2, 3, 7, 6),
+             (0, 2, 6, 4), (1, 5, 7, 3)]
+    faces = []
+    for a, b, cc, d in quads:
+        faces += [[a, b, cc], [a, cc, d]]
+    return Mesh(vertices=corners, faces=np.asarray(faces, np.int32),
+                material_id=material_id)
+
+
+def make_icosphere(center, radius, subdivisions: int = 2,
+                   material_id: int = 0) -> Mesh:
+    phi = (1 + np.sqrt(5)) / 2
+    v = np.array([[-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+                  [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+                  [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1]],
+                 np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+                  [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+                  [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+                  [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]],
+                 np.int32)
+    for _ in range(subdivisions):
+        new_faces = []
+        verts = list(v)
+        cache = {}
+
+        def mid(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in cache:
+                m = verts[i] + verts[j]
+                m = m / np.linalg.norm(m)
+                cache[key] = len(verts)
+                verts.append(m)
+            return cache[key]
+
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc],
+                          [ab, bc, ca]]
+        v = np.asarray(verts, np.float32)
+        f = np.asarray(new_faces, np.int32)
+    return Mesh(vertices=(v * radius + np.asarray(center, np.float32))
+                .astype(np.float32),
+                faces=f, material_id=material_id)
+
+
+class TriangleSoup:
+    """Packed triangle arrays for vectorized intersection on device."""
+
+    def __init__(self, meshes: List[Mesh]):
+        v0, v1, v2, mats = [], [], [], []
+        for m in meshes:
+            tv = m.vertices[m.faces]  # [F, 3, 3]
+            v0.append(tv[:, 0]); v1.append(tv[:, 1]); v2.append(tv[:, 2])
+            mats.append(np.full(len(m.faces), m.material_id, np.int32))
+        if not v0:
+            v0 = [np.zeros((1, 3), np.float32)]
+            v1 = [np.zeros((1, 3), np.float32)]
+            v2 = [np.zeros((1, 3), np.float32)]
+            mats = [np.full(1, -1, np.int32)]
+        self.v0 = jnp.asarray(np.concatenate(v0))
+        self.e1 = jnp.asarray(np.concatenate(v1)) - self.v0
+        self.e2 = jnp.asarray(np.concatenate(v2)) - self.v0
+        self.material_id = jnp.asarray(np.concatenate(mats))
+
+    def closest_hit(self, ray_o, ray_d, t_min=1e-4, t_max=1e7):
+        """Vectorized Moller-Trumbore closest hit.
+
+        ray_o/ray_d: [R, 3]. Returns (t [R], tri_idx [R] (-1 miss),
+        normal [R,3] (geometric, facing the ray), material [R]).
+        """
+        pvec = jnp.cross(ray_d[:, None, :], self.e2[None])    # [R,F,3]
+        det = jnp.sum(self.e1[None] * pvec, axis=-1)
+        inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+        tvec = ray_o[:, None, :] - self.v0[None]
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, self.e1[None])
+        v = jnp.sum(ray_d[:, None, :] * qvec, axis=-1) * inv_det
+        t = jnp.sum(self.e2[None] * qvec, axis=-1) * inv_det
+        hit = ((jnp.abs(det) > 1e-9) & (u >= 0) & (v >= 0) & (u + v <= 1)
+               & (t > t_min) & (t < t_max) & (self.material_id[None] >= 0))
+        t = jnp.where(hit, t, jnp.inf)
+        tri = jnp.argmin(t, axis=1)
+        t_best = jnp.take_along_axis(t, tri[:, None], axis=1)[:, 0]
+        miss = ~jnp.isfinite(t_best)
+        n = jnp.cross(self.e1[tri], self.e2[tri])
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                            1e-12)
+        # face the incoming ray
+        n = jnp.where(jnp.sum(n * ray_d, axis=-1, keepdims=True) > 0, -n, n)
+        mat = jnp.where(miss, -1, self.material_id[tri])
+        return (jnp.where(miss, 1e7, t_best), jnp.where(miss, -1, tri),
+                n, mat)

@@ -55,7 +55,7 @@ def render_grt(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
 
 def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
           sh_degree: int = 3, raster_cfg: Optional[RasterConfig] = None,
-          t_min: float = 1e-4, t_max: float = 1e7,
+          t_min=1e-4, t_max=1e7,
           interpret: Optional[bool] = None):
     """Trace arbitrary world-space rays against the mixture.
 
@@ -82,9 +82,18 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     rd = jnp.pad(rays_d.reshape(-1, 3), ((0, pad), (0, 0)),
                  constant_values=1.0)
     rd = rd / jnp.maximum(jnp.linalg.norm(rd, axis=-1, keepdims=True), 1e-12)
-    tmin = jnp.full((n_blocks * TILE_PIX, 1), t_min, jnp.float32)
-    tmax_arr = jnp.where(
-        (jnp.arange(n_blocks * TILE_PIX) < n_rays)[:, None], t_max, -1.0)
+    # t_min / t_max: scalars or per-ray arrays of the leading shape
+    tmin_b = jnp.broadcast_to(
+        jnp.asarray(t_min, jnp.float32).reshape(-1)[..., None]
+        if jnp.ndim(jnp.asarray(t_min)) > 0 else jnp.asarray(t_min),
+        (n_rays,)) if jnp.ndim(jnp.asarray(t_min)) == 0 else \
+        jnp.asarray(t_min, jnp.float32).reshape(-1)
+    tmax_b = jnp.broadcast_to(
+        jnp.asarray(t_max, jnp.float32), (n_rays,)) \
+        if jnp.ndim(jnp.asarray(t_max)) == 0 else \
+        jnp.asarray(t_max, jnp.float32).reshape(-1)
+    tmin = jnp.pad(tmin_b, (0, pad))[:, None]
+    tmax_arr = jnp.pad(tmax_b, (0, pad), constant_values=-1.0)[:, None]
     rays_packed = jnp.concatenate(
         [ro, rd, tmin, tmax_arr], axis=1).reshape(n_blocks, TILE_PIX, 8)
 
