@@ -1,0 +1,101 @@
+"""Utils: color correction, sRGB, jet map, PPISP, timers, logger."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from threedgrut_tpu.models.post_processing import (PPISPController,
+                                                   apply_post_processing,
+                                                   apply_ppisp,
+                                                   init_ppisp_params)
+from threedgrut_tpu.utils.color_correct import color_correct_affine
+from threedgrut_tpu.utils.misc import (jet_map, linear_to_srgb,
+                                       srgb_to_linear)
+from threedgrut_tpu.utils.timer import DeviceTimer, ScopedTimer, timing_options
+
+
+class TestColorCorrect:
+    def test_recovers_affine_map(self):
+        rng = np.random.default_rng(0)
+        gt = rng.uniform(0.1, 0.9, (32, 32, 3)).astype(np.float32)
+        m = np.asarray([[0.9, 0.05, 0.0], [0.0, 1.1, 0.0],
+                        [0.02, 0.0, 0.8]], np.float32)
+        off = np.asarray([0.02, -0.05, 0.01], np.float32)
+        pred = np.clip(gt @ m.T + off, 0, 1)
+        corrected = color_correct_affine(jnp.asarray(pred), jnp.asarray(gt))
+        err0 = np.abs(pred - gt).mean()
+        err1 = np.abs(np.asarray(corrected) - gt).mean()
+        assert err1 < err0 * 0.1
+
+
+class TestSRGB:
+    def test_roundtrip(self):
+        x = jnp.linspace(0.0, 1.0, 64)
+        np.testing.assert_allclose(srgb_to_linear(linear_to_srgb(x)), x,
+                                   atol=1e-5)
+
+
+class TestJetMap:
+    def test_range_and_shape(self):
+        v = jnp.linspace(0, 1, 16).reshape(4, 4, 1)
+        out = jet_map(v, 1.0)
+        assert out.shape == (4, 4, 3)
+        assert float(out.min()) >= 0 and float(out.max()) <= 1
+
+
+class TestPPISP:
+    def test_identity_at_init(self):
+        params = init_ppisp_params(2, 4)
+        rgb = jnp.full((8, 8, 3), 0.42)
+        out = apply_ppisp(params, rgb, camera_idx=0, frame_idx=1)
+        np.testing.assert_allclose(np.asarray(out), 0.42, atol=1e-4)
+
+    def test_exposure_scales(self):
+        params = init_ppisp_params(1, 2)
+        params["exposure"] = params["exposure"].at[0].set(1.0)  # 2x
+        rgb = jnp.full((4, 4, 3), 0.25)
+        out = apply_ppisp(params, rgb, 0, 0)
+        np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-4)
+
+    def test_trainable(self):
+        params = init_ppisp_params(1, 1)
+        target = jnp.full((8, 8, 3), 0.7)
+        rgb = jnp.full((8, 8, 3), 0.35)
+
+        def loss(p):
+            return jnp.mean((apply_ppisp(p, rgb, 0, 0) - target) ** 2)
+
+        g = jax.grad(loss)(params)
+        assert abs(float(g["exposure"][0])) > 1e-4
+
+    def test_dispatch(self):
+        rgb = jnp.full((4, 4, 3), 0.3)
+        assert apply_post_processing(None, rgb) is rgb
+        out = apply_post_processing("linear-to-srgb", rgb)
+        assert float(out[0, 0, 0]) > 0.3  # srgb brightens mid-tones
+
+    def test_controller(self):
+        ctrl = PPISPController(n_cameras=3)
+        out = ctrl.predict(ctrl.params, 1, jnp.asarray([0.0, 0.0, 1.0]))
+        assert out.shape == (7,)
+
+
+class TestTimers:
+    def test_device_timer(self):
+        t = DeviceTimer()
+        t.start()
+        x = jnp.ones((128, 128)) @ jnp.ones((128, 128))
+        t.end(x)
+        assert t.timing() > 0
+
+    def test_scoped_timer_toggle(self):
+        results = {}
+        timing_options.active = False
+        with ScopedTimer("off", results):
+            pass
+        assert "off" not in results
+        timing_options.active = True
+        with ScopedTimer("on", results):
+            pass
+        assert "on" in results
+        timing_options.active = False
