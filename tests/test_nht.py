@@ -171,3 +171,33 @@ class TestDecoder:
         diff = jax.tree.map(lambda s, o: float(jnp.max(jnp.abs(s - o - 0.5))),
                             dec.ema_shadow, orig)
         assert max(jax.tree.leaves(diff)) < 1e-6
+
+
+class TestNHTTraining:
+    def test_nht_trainer_loss_decreases(self):
+        """End-to-end NHT: render features -> decoder -> RGB loss."""
+        import test_training as tt
+        from threedgrut_tpu.models.gaussians import (GaussianModelConfig,
+                                                     initialize_from_points)
+        from threedgrut_tpu.train.trainer import Trainer, TrainerConfig
+        from threedgrut_tpu.render.common import RasterConfig
+
+        ds = tt.SyntheticDataset(n_views=3)
+        cfg = GaussianModelConfig(feature_type="nht", nht_feature_dim=16)
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(-1.2, 1.2, (64, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(3.0, 5.5, 64)
+        model = initialize_from_points(cfg, pts, capacity=128)
+        conf = TrainerConfig(strategy="mcmc",
+                             raster=RasterConfig(max_pairs=1 << 12),
+                             n_iterations=40)
+        conf.mcmc = conf.mcmc.replace(relocate_start=-1, add_start=-1,
+                                      perturb_start=-1)
+        tr = Trainer(conf, ds, model)
+        assert tr.decoder is not None
+        losses = []
+        for step in range(12):
+            m = tr.train_iteration(ds[step % len(ds)])
+            losses.append(m["total"])
+            assert np.isfinite(m["total"])
+        assert np.mean(losses[-3:]) < np.mean(losses[:3])

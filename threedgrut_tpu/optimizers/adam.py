@@ -61,24 +61,30 @@ def adam_step(params, grads, state: AdamState, lrs: Dict[str, jnp.ndarray],
     names = list(params.keys())
     new_p, new_m, new_v = {}, {}, {}
     for name in names:
-        p = params[name]
-        g = grads[name]
-        m = state.exp_avg[name]
-        v = state.exp_avg_sq[name]
-        if p is None:
-            new_p[name], new_m[name], new_v[name] = None, None, None
-            continue
         lr = lrs[name]
-        m2 = b1 * m + (1.0 - b1) * g
-        v2 = b2 * v + (1.0 - b2) * g * g
-        upd = lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
-        p2 = p - upd
-        if row_mask is not None and p.ndim >= 1 and p.shape[0] == row_mask.shape[0]:
-            mask = row_mask.reshape((-1,) + (1,) * (p.ndim - 1))
-            p2 = jnp.where(mask, p2, p)
-            m2 = jnp.where(mask, m2, m)
-            v2 = jnp.where(mask, v2, v)
-        new_p[name], new_m[name], new_v[name] = p2, m2, v2
+
+        def leaf_update(p, g, m, v):
+            m2 = b1 * m + (1.0 - b1) * g
+            v2 = b2 * v + (1.0 - b2) * g * g
+            p2 = p - lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+            if (row_mask is not None and p.ndim >= 1
+                    and p.shape[0] == row_mask.shape[0]):
+                mask = row_mask.reshape((-1,) + (1,) * (p.ndim - 1))
+                p2 = jnp.where(mask, p2, p)
+                m2 = jnp.where(mask, m2, m)
+                v2 = jnp.where(mask, v2, v)
+            return p2, m2, v2
+
+        # each named group may be an array or an arbitrary pytree (e.g. a
+        # flax param dict for the NHT decoder)
+        triples = jax.tree.map(leaf_update, params[name], grads[name],
+                               state.exp_avg[name], state.exp_avg_sq[name])
+        flat, treedef = jax.tree.flatten(triples,
+                                         is_leaf=lambda x: isinstance(x,
+                                                                      tuple))
+        new_p[name] = jax.tree.unflatten(treedef, [t[0] for t in flat])
+        new_m[name] = jax.tree.unflatten(treedef, [t[1] for t in flat])
+        new_v[name] = jax.tree.unflatten(treedef, [t[2] for t in flat])
 
     return new_p, AdamState(step=step, exp_avg=new_m, exp_avg_sq=new_v)
 

@@ -170,6 +170,14 @@ class Trainer:
         self.global_step = 0
         self.key = jax.random.PRNGKey(conf.seed)
 
+        # NHT feature decoder (threedgrut/model/feature_decoder.py)
+        self.decoder = None
+        if model.config.feature_type == "nht":
+            from ..models.nht_decoder import FeatureDecoder
+            interp_dim = model.params.features.shape[1] // 4
+            self.decoder = FeatureDecoder(ray_feature_dim=interp_dim * 2,
+                                          seed=conf.seed)
+
         self.opt_state = adam_mod.init_adam_state(self._params_dict())
         if conf.strategy == "gs":
             self.gs_buffers = gs_strategy.init_buffers(model.capacity)
@@ -199,9 +207,14 @@ class Trainer:
             d["features_specular"] = p.features_specular
         if p.features is not None:
             d["features"] = p.features
+        if self.decoder is not None:
+            d["nht_decoder"] = self.decoder.params
         return d
 
     def _set_params_dict(self, d: dict):
+        d = dict(d)
+        if self.decoder is not None and "nht_decoder" in d:
+            self.decoder.params = d.pop("nht_decoder")
         self.model = self.model.replace(
             params=self.model.params.replace(**d))
 
@@ -218,7 +231,25 @@ class Trainer:
             lrs["features_specular"] = oc.lr_features_specular
         if self.model.params.features is not None:
             lrs["features"] = self._schedulers["features"](self.global_step)
+        if self.decoder is not None:
+            # cosine decay (base_gs.yaml nht_decoder.scheduler)
+            lrs["nht_decoder"] = adam_mod.cosine_scheduler(
+                0.00068, 0.00068 * 0.1, oc.features_max_steps)(
+                self.global_step)
+        # color-refine phase: freeze gaussians, train only the decoder
+        # (trainer.py:1126-1130 / nht_decoder.color_refine_steps)
+        if self._in_color_refine():
+            for k in list(lrs):
+                if k != "nht_decoder":
+                    lrs[k] = 0.0
         return lrs
+
+    def _in_color_refine(self) -> bool:
+        if self.decoder is None:
+            return False
+        refine_steps = 3000
+        return self.global_step >= max(self.conf.n_iterations
+                                       - refine_steps, 0)
 
     # ------------------------------------------------------------------
 
@@ -235,15 +266,29 @@ class Trainer:
 
         @jax.jit
         def step_fn(params_d, opt_state, lrs, rgb_gt, n_active, key, cam):
+            gauss_d = {k: v for k, v in params_d.items()
+                       if k != "nht_decoder"}
             model = base_model.replace(
-                params=base_model.params.replace(**params_d),
+                params=base_model.params.replace(**gauss_d),
                 n_active=n_active)
 
+            decoder = self.decoder
+
             def loss_fn(pd):
+                pd = dict(pd)
+                dec_params = pd.pop("nht_decoder", None)
                 m = model.replace(params=model.params.replace(**pd))
                 out = render_gut(cam, conf.ut, conf.raster, m, sh_degree)
+                pred = out["pred_features"]
+                if decoder is not None:
+                    from ..render.common import camera_rays_world
+                    _, dirs = camera_rays_world(cam)
+                    hh, ww = pred.shape[:2]
+                    pred = decoder.apply(
+                        dec_params, pred.reshape(-1, pred.shape[-1]),
+                        dirs.reshape(-1, 3)).reshape(hh, ww, 3)
                 bg = bg_mod.background_color(conf.background, key, train=True)
-                pred = bg_mod.apply_background(out["pred_features"],
+                pred = bg_mod.apply_background(pred,
                                                out["pred_opacity"], bg)
                 losses = {}
                 total = 0.0
@@ -313,6 +358,8 @@ class Trainer:
         self.opt_state = new_opt
 
         self.global_step += 1
+        if self.decoder is not None:
+            self.decoder.ema_update(self.global_step)
         self._post_backward(grads, cam)
         self._post_optimizer_step()
         self._progressive_features()
@@ -433,9 +480,16 @@ class Trainer:
             cam = camera_from_batch(batch, self.conf.ut)
             out = render_gut(cam, self.conf.ut, self.conf.raster, self.model,
                              sh_degree)
+            pred = out["pred_features"]
+            if self.decoder is not None:
+                from ..render.common import camera_rays_world
+                _, dirs = camera_rays_world(cam)
+                hh, ww = pred.shape[:2]
+                pred = self.decoder(pred.reshape(-1, pred.shape[-1]),
+                                    dirs.reshape(-1, 3),
+                                    use_ema=True).reshape(hh, ww, 3)
             bg = bg_mod.background_color(self.conf.background, train=False)
-            pred = bg_mod.apply_background(out["pred_features"],
-                                           out["pred_opacity"], bg)
+            pred = bg_mod.apply_background(pred, out["pred_opacity"], bg)
             pred = jnp.clip(pred, 0.0, 1.0)
             gt = jnp.asarray(batch.rgb_gt)
             psnrs.append(float(psnr(pred, gt)))
