@@ -92,7 +92,8 @@ class TestNHTRender:
         rec[:n_real, 10] = rng.uniform(0.3, 1.0, n_real)
         rec[:n_real, 11:27] = rng.uniform(-1.5, 1.5, (n_real, 16))
         records = jnp.asarray(rec.reshape(C, K, rdim).transpose(0, 2, 1))
-        tile_start = jnp.asarray([0, C * K], jnp.int32)
+        tile_start = jnp.asarray([0], jnp.int32)
+        tile_count = jnp.asarray([C * K], jnp.int32)
 
         rays = np.zeros((1, 256, 8), np.float32)
         ys, xs = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
@@ -139,7 +140,8 @@ class TestNHTRender:
                     + jnp.sum(dd * g_d))
 
         def loss_ker(recs):
-            out = raster.rasterize_tiles(recs, tile_start, rays_j, cfg, True)
+            out = raster.rasterize_tiles(recs, tile_start, tile_count,
+                                         rays_j, cfg, True)
             f = cfg.feat_dim
             return (jnp.sum(out[0, :, 0:f] * g_f)
                     + jnp.sum(out[0, :, f] * g_o)

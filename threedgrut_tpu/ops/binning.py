@@ -16,8 +16,8 @@ TPU-specific design: XLA lowers random gathers/scatters to scalar loops
 (~10 ms per 2M-row gather on v5e), so the expansion avoids per-pair
 gathers entirely. All per-particle values a pair needs are scattered once
 (N rows) to each particle's segment-start slot and then propagated with a
-single segmented forward-fill (associative_scan with a "keep last valid"
-operator) - one O(P log P) vectorized pass instead of ~10 scalar gathers.
+single segmented forward-fill (a sequential-carry Pallas kernel,
+ops/pallas/fill.py) - one streaming pass instead of ~10 scalar gathers.
 """
 
 from __future__ import annotations
@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .pallas.fill import segmented_fill_rows
 from .ut import TILE_X, TILE_Y, Projection, tile_min_power_response
 
 
@@ -42,26 +43,10 @@ def total_pair_slots(max_pairs: int, tile_grid, chunk: int) -> int:
     return max_pairs + tile_grid[0] * tile_grid[1] * chunk
 
 
-def _forward_fill(vals: jnp.ndarray, mask: jnp.ndarray):
-    """Segmented forward-fill: propagate the last row with mask=True.
-
-    vals: [P, D]; mask: [P] bool (True at segment starts). Rows before the
-    first marked row keep their original value.
-    """
-    m = mask[:, None]
-
-    def combine(a, b):
-        va, ma = a
-        vb, mb = b
-        return jnp.where(mb, vb, va), ma | mb
-
-    filled, _ = jax.lax.associative_scan(combine, (vals, m), axis=0)
-    return filled
-
-
 def bin_particles(proj: Projection, tile_grid, max_pairs: int,
                   chunk: int = 128, tile_culling: bool = True,
-                  alpha_threshold: float = 1.0 / 255.0) -> Binning:
+                  alpha_threshold: float = 1.0 / 255.0,
+                  interpret: bool = False) -> Binning:
     """Bin projected particles into per-tile depth-ordered pair lists.
 
     Each tile's segment starts at a ``chunk``-aligned offset; padding slots
@@ -107,10 +92,10 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
 
     nonempty = counts_sorted > 0
     start_slot = jnp.where(nonempty, excl, max_pairs)
-    vals = jnp.zeros((max_pairs, per_particle.shape[1]), jnp.float32)
-    vals = vals.at[start_slot].set(per_particle, mode="drop")
-    mask = jnp.zeros(max_pairs, bool).at[start_slot].set(True, mode="drop")
-    vals = _forward_fill(vals, mask)
+    # binning is structural (non-differentiable) - stop gradients before
+    # the fill kernel (pallas_call has no autodiff rule)
+    vals = segmented_fill_rows(jax.lax.stop_gradient(per_particle),
+                               start_slot, max_pairs, interpret=interpret)
 
     pair_j = jnp.arange(max_pairs, dtype=jnp.int32)
     in_range = pair_j < jnp.minimum(total, max_pairs)
@@ -156,13 +141,11 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
         tile_counts.astype(jnp.float32),
     ], axis=1)                                                    # [T, 3]
     seg_slot = jnp.where(padded > 0, aligned_start[:-1], p_total)
-    svals = jnp.zeros((p_total, 3), jnp.float32)
-    svals = svals.at[seg_slot].set(seg_vals, mode="drop")
-    smask = jnp.zeros(p_total, bool).at[seg_slot].set(True, mode="drop")
-    svals = _forward_fill(svals, smask)
+    svals = segmented_fill_rows(jax.lax.stop_gradient(seg_vals), seg_slot,
+                                p_total, interpret=interpret)
     local = slot.astype(jnp.float32) - svals[:, 0]
     src_pair = (svals[:, 1] + local).astype(jnp.int32)
-    slot_valid = smask_any = (local < svals[:, 2]) & (local >= 0.0)
+    slot_valid = (local < svals[:, 2]) & (local >= 0.0)
     aligned_particle = jnp.where(
         slot_valid, pair_particle[jnp.minimum(src_pair, max_pairs - 1)], -1)
 

@@ -124,7 +124,7 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
     b = binning_ops.bin_particles(
         proj, grid, raster_cfg.max_pairs, chunk=CHUNK,
         tile_culling=raster_cfg.tile_culling,
-        alpha_threshold=ut_cfg.alpha_threshold)
+        alpha_threshold=ut_cfg.alpha_threshold, interpret=interpret)
 
     # the hot path (camera rays, global shutter) has one shared ray origin
     # -> the kernel can use the factorized MXU response (chunk_hits_fast).
