@@ -33,26 +33,26 @@ def _fill_kernel(vals_ref, out_ref, carry):
         carry[:, :] = jnp.zeros_like(carry)
 
     v = vals_ref[0]                       # [D, S]
-    mask = v[-1:, :] > 0.5                # [1, S]
+    # float mask row (Mosaic cannot concatenate i1 vectors)
+    m = v[-1:, :]                         # [1, S], > 0.5 at markers
 
     # Hillis-Steele "keep last marked" scan along lanes
     filled = v
-    m = mask
     s = 1
     while s < v.shape[1]:
         shifted_v = jnp.concatenate(
             [jnp.zeros_like(filled[:, :s]), filled[:, :-s]], axis=1)
         shifted_m = jnp.concatenate(
             [jnp.zeros_like(m[:, :s]), m[:, :-s]], axis=1)
-        filled = jnp.where(m, filled, shifted_v)
-        m = m | shifted_m
+        filled = jnp.where(m > 0.5, filled, shifted_v)
+        m = jnp.maximum(m, shifted_m)
         s *= 2
 
     # lanes before the slab's first marker take the carry
-    filled = jnp.where(m, filled, carry[:, :])
+    filled = jnp.where(m > 0.5, filled, carry[:, :])
     m_any = m[:, -1:]  # monotone: last lane has "any marker in/before slab"
     out_ref[0] = filled
-    carry[:, :] = jnp.where(m_any, filled[:, -1:], carry[:, :])
+    carry[:, :] = jnp.where(m_any > 0.5, filled[:, -1:], carry[:, :])
 
 
 def forward_fill(vals: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:

@@ -160,12 +160,17 @@ class Trainer:
     """3DGUT training session over a BoundedMultiViewDataset."""
 
     def __init__(self, conf: TrainerConfig, dataset, model: GaussianState,
-                 val_dataset=None, out_dir: Optional[str] = None):
+                 val_dataset=None, out_dir: Optional[str] = None,
+                 enable_writer: bool = False):
         self.conf = conf
         self.dataset = dataset
         self.val_dataset = val_dataset
         self.model = model
         self.out_dir = out_dir
+        self.writer = None
+        if enable_writer and out_dir:
+            from ..utils.misc import create_summary_writer
+            self.writer = create_summary_writer(out_dir)
         self.scene_extent = float(dataset.get_scene_extent())
         self.global_step = 0
         self.key = jax.random.PRNGKey(conf.seed)
@@ -363,7 +368,14 @@ class Trainer:
         self._post_backward(grads, cam)
         self._post_optimizer_step()
         self._progressive_features()
-        return {k2: float(v) for k2, v in metrics.items()}
+        host_metrics = {k2: float(v) for k2, v in metrics.items()}
+        if self.writer is not None:
+            for k2, v in host_metrics.items():
+                self.writer.add_scalar(f"train/{k2}", v, self.global_step)
+            self.writer.add_scalar("train/n_gaussians",
+                                   int(self.model.n_active),
+                                   self.global_step)
+        return host_metrics
 
     # ------------------------------------------------------------------
 
@@ -495,8 +507,48 @@ class Trainer:
             psnrs.append(float(psnr(pred, gt)))
             ssims.append(float(ssim(pred.transpose(2, 0, 1)[None],
                                     gt.transpose(2, 0, 1)[None])))
-        return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
-                "n_views": len(psnrs)}
+        result = {"psnr": float(np.mean(psnrs)),
+                  "ssim": float(np.mean(ssims)), "n_views": len(psnrs)}
+        if self.writer is not None:
+            self.writer.add_scalar("val/psnr", result["psnr"],
+                                   self.global_step)
+            self.writer.add_scalar("val/ssim", result["ssim"],
+                                   self.global_step)
+        return result
+
+    def log_validation_images(self, batch, max_hits: float = 128.0):
+        """Render one view and log gt/pred/depth/opacity/hit-count panels
+        (trainer.py:668-673 equivalents; jet maps via utils.misc)."""
+        from ..utils.misc import jet_map
+
+        cam = camera_from_batch(batch, self.conf.ut)
+        sh_degree = min(self.n_active_features, self.conf.max_n_features)
+        out = render_gut(cam, self.conf.ut, self.conf.raster, self.model,
+                         sh_degree)
+        pred = out["pred_features"]
+        if self.decoder is not None:
+            from ..render.common import camera_rays_world
+            _, dirs = camera_rays_world(cam)
+            hh, ww = pred.shape[:2]
+            pred = self.decoder(pred.reshape(-1, pred.shape[-1]),
+                                dirs.reshape(-1, 3),
+                                use_ema=True).reshape(hh, ww, 3)
+        bg = bg_mod.background_color(self.conf.background, train=False)
+        pred = jnp.clip(bg_mod.apply_background(pred, out["pred_opacity"],
+                                                bg), 0, 1)
+        images = {
+            "pred": pred,
+            "depth": jet_map(out["pred_dist"], 100.0),
+            "opacity": jet_map(out["pred_opacity"], 1.0),
+            "hits": jet_map(out["hits_count"], max_hits),
+        }
+        if batch.rgb_gt is not None:
+            images["gt"] = jnp.clip(jnp.asarray(batch.rgb_gt), 0, 1)
+        if self.writer is not None:
+            for name, img in images.items():
+                self.writer.add_image(f"val/{name}", np.asarray(img),
+                                      self.global_step)
+        return images
 
     # --- checkpointing --------------------------------------------------
 
