@@ -220,7 +220,23 @@ def to_trainer_config(conf: ConfigNode):
             reset_density_frequency=r.get("frequency", 3000),
             reset_density_start=r.get("start_iteration", 0),
             reset_density_end=r.get("end_iteration", 15000),
-            new_max_density=r.get("new_max_density", 0.01))
+            new_max_density=r.get("new_max_density", 0.01),
+            density_decay_frequency=strat.get("density_decay", {}).get(
+                "frequency", 0),
+            density_decay_start=strat.get("density_decay", {}).get(
+                "start_iteration", -1),
+            density_decay_end=strat.get("density_decay", {}).get(
+                "end_iteration", -1),
+            density_decay_gamma=strat.get("density_decay", {}).get(
+                "gamma", 0.99),
+            prune_scale_frequency=strat.get("prune_scale", {}).get(
+                "frequency", 0),
+            prune_scale_start=strat.get("prune_scale", {}).get(
+                "start_iteration", -1),
+            prune_scale_end=strat.get("prune_scale", {}).get(
+                "end_iteration", -1),
+            prune_scale_threshold=strat.get("prune_scale", {}).get(
+                "threshold", 1.0))
     if strategy == "mcmc" and strat:
         rl = strat.get("relocate", {})
         ad = strat.get("add", {})

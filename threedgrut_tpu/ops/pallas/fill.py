@@ -32,26 +32,27 @@ def _fill_kernel(vals_ref, out_ref, carry):
     def _():
         carry[:, :] = jnp.zeros_like(carry)
 
-    v = vals_ref[0]                       # [D, S]
-    # float mask row (Mosaic cannot concatenate i1 vectors)
-    m = v[-1:, :]                         # [1, S], > 0.5 at markers
-
-    # Hillis-Steele "keep last marked" scan along lanes
-    filled = v
+    # Hillis-Steele "keep last marked" scan along lanes. The float mask
+    # rides as the last row of the value block and is updated by the same
+    # keep-or-take-shifted rule (where(m, m, shifted_m) == max for 0/1
+    # masks), so every concatenate is full-height [D, *] - single-sublane
+    # slices trip Mosaic layout limitations.
+    filled = vals_ref[0]                  # [D, S]; row D-1: mask
     s = 1
-    while s < v.shape[1]:
-        shifted_v = jnp.concatenate(
+    while s < filled.shape[1]:
+        shifted = jnp.concatenate(
             [jnp.zeros_like(filled[:, :s]), filled[:, :-s]], axis=1)
-        shifted_m = jnp.concatenate(
-            [jnp.zeros_like(m[:, :s]), m[:, :-s]], axis=1)
-        filled = jnp.where(m > 0.5, filled, shifted_v)
-        m = jnp.maximum(m, shifted_m)
+        m = filled[-1:, :]
+        filled = jnp.where(m > 0.5, filled, shifted)
         s *= 2
 
     # lanes before the slab's first marker take the carry
+    m = filled[-1:, :]
     filled = jnp.where(m > 0.5, filled, carry[:, :])
-    m_any = m[:, -1:]  # monotone: last lane has "any marker in/before slab"
     out_ref[0] = filled
+    # carry only advances once a marker has been seen (mask row of the
+    # carry itself encodes that)
+    m_any = filled[-1:, -1:]
     carry[:, :] = jnp.where(m_any > 0.5, filled[:, -1:], carry[:, :])
 
 

@@ -49,6 +49,14 @@ class GSStrategyConfig:
     reset_density_start: int = struct.field(pytree_node=False, default=0)
     reset_density_end: int = struct.field(pytree_node=False, default=15000)
     new_max_density: float = struct.field(pytree_node=False, default=0.01)
+    density_decay_frequency: int = struct.field(pytree_node=False, default=0)
+    density_decay_start: int = struct.field(pytree_node=False, default=-1)
+    density_decay_end: int = struct.field(pytree_node=False, default=-1)
+    density_decay_gamma: float = struct.field(pytree_node=False, default=0.99)
+    prune_scale_frequency: int = struct.field(pytree_node=False, default=0)
+    prune_scale_start: int = struct.field(pytree_node=False, default=-1)
+    prune_scale_end: int = struct.field(pytree_node=False, default=-1)
+    prune_scale_threshold: float = struct.field(pytree_node=False, default=1.0)
 
 
 class GSBuffers(NamedTuple):
@@ -151,6 +159,25 @@ def prune_opacity(state: GaussianState, opt: AdamState, buffers: GSBuffers,
     n_pruned = state.n_active - jnp.sum(keep.astype(jnp.int32))
     state, opt = base.compact(state, opt, keep)
     # buffers ride the same permutation as compact's
+    order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+    buffers = GSBuffers(buffers.grad_norm_accum[order],
+                        buffers.grad_norm_denom[order])
+    return state, opt, buffers, n_pruned
+
+
+@jax.jit
+def prune_scale(state: GaussianState, opt: AdamState, buffers: GSBuffers,
+                cam_normals: jnp.ndarray, focal_max: float,
+                threshold: float = 1.0):
+    """gs.py:252: prune particles whose minimum scale exceeds a screen-
+    space footprint threshold (min-scale / camera distance * focal)."""
+    sims = jnp.einsum("nc,mc->nm", state.params.positions, cam_normals,
+                      precision="highest")
+    cam_dists = jnp.clip(jnp.min(sims, axis=1), 1e-8, None)
+    ratio = jnp.min(state.get_scale(), axis=1) / cam_dists * focal_max
+    keep = state.active_mask() & (ratio < threshold)
+    n_pruned = state.n_active - jnp.sum(keep.astype(jnp.int32))
+    state, opt = base.compact(state, opt, keep)
     order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
     buffers = GSBuffers(buffers.grad_norm_accum[order],
                         buffers.grad_norm_denom[order])

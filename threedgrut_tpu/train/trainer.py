@@ -424,6 +424,20 @@ class Trainer:
                                                c.reset_density_frequency):
                 self.model, self.opt_state = gs_strategy.reset_density(
                     self.model, self.opt_state, c.new_max_density)
+            if strat_base.check_step_condition(step, c.density_decay_start,
+                                               c.density_decay_end,
+                                               c.density_decay_frequency):
+                self.model = gs_strategy.decay_density(
+                    self.model, c.density_decay_gamma)
+            if strat_base.check_step_condition(step, c.prune_scale_start,
+                                               c.prune_scale_end,
+                                               c.prune_scale_frequency):
+                poses = np.asarray(self.dataset.get_poses())
+                cam_normals = jnp.asarray(poses[:, :3, 2])
+                focal = float(self.dataset[0].intrinsics[0])                     if self.dataset[0].intrinsics else 1000.0
+                self.model, self.opt_state, self.gs_buffers, _ =                     gs_strategy.prune_scale(
+                        self.model, self.opt_state, self.gs_buffers,
+                        cam_normals, focal, c.prune_scale_threshold)
         else:
             c = self.conf.mcmc
             if strat_base.check_step_condition(step, c.relocate_start,
