@@ -66,10 +66,15 @@ def main():
                                        out["pred_opacity"], bg)
         pred = jnp.clip(pred, 0.0, 1.0)
         gt = jnp.asarray(batch.rgb_gt)
+        from threedgrut_tpu.utils.color_correct import color_correct_affine
+        cc = color_correct_affine(pred, gt)
         m = {"frame": i,
              "psnr": float(psnr(pred, gt)),
              "ssim": float(ssim(pred.transpose(2, 0, 1)[None],
-                                gt.transpose(2, 0, 1)[None]))}
+                                gt.transpose(2, 0, 1)[None])),
+             "psnr_cc": float(psnr(cc, gt)),
+             "ssim_cc": float(ssim(cc.transpose(2, 0, 1)[None],
+                                   gt.transpose(2, 0, 1)[None]))}
         per_frame.append(m)
         print(m)
         if args.save_images:
@@ -81,6 +86,10 @@ def main():
     metrics = {
         "psnr": float(np.mean([m["psnr"] for m in per_frame])),
         "ssim": float(np.mean([m["ssim"] for m in per_frame])),
+        "psnr_cc": float(np.mean([m["psnr_cc"] for m in per_frame])),
+        "ssim_cc": float(np.mean([m["ssim_cc"] for m in per_frame])),
+        "best_frame": max(per_frame, key=lambda m: m["psnr"])["frame"],
+        "worst_frame": min(per_frame, key=lambda m: m["psnr"])["frame"],
         "per_frame": per_frame,
     }
     with open(os.path.join(args.out_dir, "metrics.json"), "w") as f:
