@@ -65,12 +65,11 @@ def main():
                        focal=(1.1 * side, 1.1 * side),
                        principal=(side / 2, side / 2))
     ut_cfg = UTConfig()
-    rc = RasterConfig(max_pairs=1 << 21)
+    rc = RasterConfig(max_pairs=1 << 20)
     gt = jnp.asarray(rng.uniform(0, 1, (side, side, 3)).astype(np.float32))
     opt_state = init_adam_state(params_d)
     lrs = {k: jnp.asarray(1e-3, jnp.float32) for k in params_d}
 
-    @jax.jit
     def train_step(params_d, opt_state):
         def loss_fn(pd):
             m = model.replace(params=model.params.replace(**pd))
@@ -86,16 +85,27 @@ def main():
                                  update_mask=active)
         return new_p, new_o, loss
 
+    steps_per_call = 5
+
+    @jax.jit
+    def train_many(params_d, opt_state):
+        def body(_, carry):
+            p, o, _ = carry
+            return train_step(p, o)
+        return jax.lax.fori_loop(
+            0, steps_per_call, body,
+            (params_d, opt_state, jnp.asarray(0.0)))
+
     # warmup / compile
-    params_d, opt_state, loss = train_step(params_d, opt_state)
+    params_d, opt_state, loss = train_many(params_d, opt_state)
     jax.block_until_ready(loss)
 
-    iters = 20
+    calls = 4
     t0 = time.time()
-    for _ in range(iters):
-        params_d, opt_state, loss = train_step(params_d, opt_state)
+    for _ in range(calls):
+        params_d, opt_state, loss = train_many(params_d, opt_state)
     jax.block_until_ready(loss)
-    dt = (time.time() - t0) / iters
+    dt = (time.time() - t0) / (calls * steps_per_call)
     it_s = 1.0 / dt
 
     print(json.dumps({

@@ -577,7 +577,11 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         get_dma(0, 0).start()
 
     def cond(state):
-        return state[0] < nchunks
+        i, t_cur, _, _ = state
+        # early exit once every ray is dead: remaining chunks contribute
+        # exactly zero gradient (w == 0 under the kill mask) and are
+        # zero-filled after the loop
+        return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
 
     def body(state):
         i, t_cur, feat_acc, depth_acc = state
@@ -680,7 +684,26 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
             jnp.ones((TILE_PIX, 1), jnp.float32),
             jnp.zeros((TILE_PIX, f), jnp.float32),
             jnp.zeros((TILE_PIX, 1), jnp.float32))
-    jax.lax.while_loop(cond, body, init)
+    i_end, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # drain the prefetched-but-unconsumed DMA on early exit
+    @pl.when((i_end > 0) & (i_end < nchunks))
+    def _():
+        get_dma(jax.lax.rem(i_end, 2), i_end).wait()
+
+    # zero-fill gradient rows of the skipped (all-dead) chunks
+    @pl.when(i_end < nchunks)
+    def _():
+        grad_buf[:, :] = jnp.zeros_like(grad_buf)
+
+        def zbody(i, _):
+            dma = pltpu.make_async_copy(grad_buf, grads_hbm.at[first + i],
+                                        out_sem)
+            dma.start()
+            dma.wait()
+            return 0
+
+        jax.lax.fori_loop(i_end, nchunks, zbody, 0)
 
 
 # ---------------------------------------------------------------------------
