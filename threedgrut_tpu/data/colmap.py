@@ -247,16 +247,25 @@ class ColmapDataset:
     def _load_image(self, index: int) -> np.ndarray:
         if index in self._image_cache:
             return self._image_cache[index]
-        from PIL import Image
-
         name = self.items[index]["name"]
-        img = Image.open(os.path.join(self._image_dir, name))
+        full = os.path.join(self._image_dir, name)
         cam = self.cameras[self.items[index]["camera_id"]]
         tw = int(round(cam["width"] / self.downsample))
         th = int(round(cam["height"] / self.downsample))
-        if (img.width, img.height) != (tw, th):
-            img = img.resize((tw, th), Image.LANCZOS)
-        rgb = np.asarray(img.convert("RGB"), np.float32) / 255.0
+        rgb = None
+        from . import native_loader
+        if native_loader.native_available():
+            raw = native_loader.decode_image(full)
+            if raw is not None and raw.shape[:2] == (th, tw) \
+                    and raw.shape[2] == 3:
+                rgb = raw.astype(np.float32) / 255.0
+        if rgb is None:
+            from PIL import Image
+
+            img = Image.open(full)
+            if (img.width, img.height) != (tw, th):
+                img = img.resize((tw, th), Image.LANCZOS)
+            rgb = np.asarray(img.convert("RGB"), np.float32) / 255.0
         self._image_cache[index] = rgb
         return rgb
 

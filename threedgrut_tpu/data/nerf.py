@@ -71,16 +71,25 @@ class NeRFDataset:
     def _load_image(self, index: int) -> np.ndarray:
         if index in self._image_cache:
             return self._image_cache[index]
-        from PIL import Image
-
         fp = self.frames[index]["file_path"]
         if not os.path.splitext(fp)[1]:
             fp = fp + ".png"
-        img = Image.open(os.path.join(self.path, fp))
-        if self.downsample > 1:
-            img = img.resize((img.width // self.downsample,
-                              img.height // self.downsample), Image.LANCZOS)
-        arr = np.asarray(img, np.float32) / 255.0
+        full = os.path.join(self.path, fp)
+        arr = None
+        from . import native_loader
+        if native_loader.native_available():
+            raw = native_loader.decode_image(full, self.downsample)
+            if raw is not None:
+                arr = raw.astype(np.float32) / 255.0
+        if arr is None:
+            from PIL import Image
+
+            img = Image.open(full)
+            if self.downsample > 1:
+                img = img.resize((img.width // self.downsample,
+                                  img.height // self.downsample),
+                                 Image.LANCZOS)
+            arr = np.asarray(img, np.float32) / 255.0
         if arr.ndim == 2:
             arr = np.repeat(arr[..., None], 3, axis=2)
         if arr.shape[2] == 4:
