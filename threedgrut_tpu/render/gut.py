@@ -154,6 +154,10 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
     p_total = b.pair_particle.shape[0]
     rdim = kcfg.record_dim
     pad_cols = rdim - kcfg.feat_offset - kcfg.particle_feat_dim
+    # per-particle record table first (N-sized concat), then ONE row
+    # gather - a single wide gather is ~4x cheaper on TPU than per-field
+    # gathers
+    cap = model.capacity
     if kcfg.shared_origin:
         # per-particle canonical-map precompute (see chunk_hits_fast):
         # M = diag(1/s) R^T, a = M (o - p)
@@ -166,22 +170,21 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         delta = origin - model.params.positions           # [C,3]
         gro = jnp.einsum("nij,nj->ni", m_mat, delta,
                          precision="highest")             # [C,3]
-        m_flat = m_mat.reshape(-1, 9)
-        records = jnp.concatenate([
-            gro[idx], m_flat[idx],
-            model.get_density()[idx] * pad_valid,
-            feats[idx],
-            jnp.zeros((p_total, pad_cols), jnp.float32),
-        ], axis=1)
+        table = jnp.concatenate([
+            gro, m_mat.reshape(-1, 9), model.get_density(), feats,
+            jnp.zeros((cap, pad_cols), jnp.float32)], axis=1)
     else:
-        records = jnp.concatenate([
-            model.params.positions[idx],
-            quats[idx],
-            model.get_scale()[idx],
-            model.get_density()[idx] * pad_valid,
-            feats[idx],
-            jnp.zeros((p_total, pad_cols), jnp.float32),
-        ], axis=1)
+        table = jnp.concatenate([
+            model.params.positions, quats, model.get_scale(),
+            model.get_density(), feats,
+            jnp.zeros((cap, pad_cols), jnp.float32)], axis=1)
+    records = table[idx]
+    # padding slots must not contribute: zero their density column
+    records = jnp.concatenate([
+        records[:, :kcfg.density_row],
+        records[:, kcfg.density_row:kcfg.density_row + 1] * pad_valid,
+        records[:, kcfg.density_row + 1:],
+    ], axis=1)
     n_chunks = p_total // CHUNK
     records = records.reshape(n_chunks, CHUNK, rdim).transpose(0, 2, 1)
 
