@@ -444,14 +444,20 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
         alpha, hit_t = sorted_payloads[0], sorted_payloads[1]
         hit_feats = sorted_payloads[2:]
 
+    # single exclusive prefix product; the "kill" (ray dead once T drops
+    # below the threshold) freeze is recovered without a second scan:
+    # since raw T only decreases, the frozen T equals raw T_prev at the
+    # first dead index = the max of T_prev over dead indices.
     prefix = _prefix_product_excl(1.0 - alpha)        # [256,K]
-    t_prev_raw = t_in * prefix
-    alive = t_prev_raw >= cfg.min_transmittance       # kill semantics
+    t_prev = t_in * prefix                            # raw T before hit j
+    alive = t_prev >= cfg.min_transmittance           # kill semantics
     alpha_eff = jnp.where(alive, alpha, 0.0)
-    prefix_eff = _prefix_product_excl(1.0 - alpha_eff)
-    t_prev = t_in * prefix_eff                        # frozen after kill
-    w = alpha_eff * t_prev
-    t_out = t_prev[:, -1:] * (1.0 - alpha_eff[:, -1:])
+    w = alpha_eff * t_prev                            # == eff w while alive
+    dead_vals = jnp.where(alive, -1.0, t_prev)
+    t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
+    t_raw_end = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
+    any_dead = t_frozen >= 0.0
+    t_out = jnp.where(any_dead, t_frozen, t_raw_end)
     return w, alpha_eff, hit_t, t_prev, t_out, canonical, hit_feats
 
 

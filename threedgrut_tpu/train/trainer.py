@@ -368,14 +368,16 @@ class Trainer:
         self._post_backward(grads, cam)
         self._post_optimizer_step()
         self._progressive_features()
-        host_metrics = {k2: float(v) for k2, v in metrics.items()}
         if self.writer is not None:
-            for k2, v in host_metrics.items():
-                self.writer.add_scalar(f"train/{k2}", v, self.global_step)
+            for k2, v in metrics.items():
+                self.writer.add_scalar(f"train/{k2}", float(v),
+                                       self.global_step)
             self.writer.add_scalar("train/n_gaussians",
                                    int(self.model.n_active),
                                    self.global_step)
-        return host_metrics
+        # device arrays (float()-able); conversion forces a sync, so leave
+        # it to the caller's logging cadence
+        return metrics
 
     # ------------------------------------------------------------------
 
