@@ -279,7 +279,9 @@ def to_trainer_config(conf: ConfigNode):
         min_transmittance=render.get("min_transmittance", 1e-4),
         tile_culling=splat.get("tile_based_culling", True),
         k_buffer_size=splat.get("k_buffer_size", 0),
-        max_pairs=render.get("max_pairs", 1 << 21))
+        sorted_compositing=(splat.get("k_buffer_size", 0) > 0
+                            or render.get("method") == "3dgrt"),
+        max_pairs=render.get("max_pairs", 1 << 20))
 
     bgc = model.get("background", {})
     return TrainerConfig(
