@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SLAB = 2048  # lanes processed per grid step
+SLAB = 8192  # lanes per grid step (large slabs amortize per-step overhead)
 
 
 def _fill_kernel(vals_ref, out_ref, carry):
