@@ -32,15 +32,10 @@ from .ut import TILE_X, TILE_Y, Projection, tile_min_power_response
 
 
 class Binning(NamedTuple):
-    pair_particle: jnp.ndarray  # [P_total] int32 particle idx per slot, -1 pad
-    tile_start: jnp.ndarray     # [T+1] int32 chunk-aligned segment starts
+    pair_particle: jnp.ndarray  # [P] int32 particle idx, tile-sorted
+    tile_start: jnp.ndarray     # [T+1] int32 raw segment boundaries
     num_pairs: jnp.ndarray      # [] int32 valid pairs after culling
     overflow: jnp.ndarray       # [] int32 pairs dropped due to capacity
-
-
-def total_pair_slots(max_pairs: int, tile_grid, chunk: int) -> int:
-    """Static capacity of the aligned pair list (worst-case padding)."""
-    return max_pairs + tile_grid[0] * tile_grid[1] * chunk
 
 
 def bin_particles(proj: Projection, tile_grid, max_pairs: int,
@@ -49,10 +44,10 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
                   interpret: bool = False) -> Binning:
     """Bin projected particles into per-tile depth-ordered pair lists.
 
-    Each tile's segment starts at a ``chunk``-aligned offset; padding slots
-    hold particle id -1 so the compositing kernel can stream whole chunks
-    without tile-boundary masking (and the backward can write whole chunk
-    rows of gradients race-free).
+    Tile segments are raw [start, end) ranges into the tile-sorted pair
+    list; the compositing kernel streams floor/ceil-aligned chunks around
+    each range and masks boundary lanes (the backward accumulates shared
+    boundary chunks sequentially).
     """
     gx, gy = tile_grid
     num_tiles = gx * gy
@@ -126,32 +121,9 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
         pair_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    # chunk-aligned re-layout via forward-fill + one monotone gather:
-    # dest-slot s of tile t maps to source pair raw_start[t] + local rank
-    tile_counts = raw_start[1:] - raw_start[:-1]                  # [T]
-    padded = ((tile_counts + chunk - 1) // chunk) * chunk
-    aligned_start = jnp.concatenate([
-        jnp.zeros(1, jnp.int32), jnp.cumsum(padded).astype(jnp.int32)])
-
-    p_total = total_pair_slots(max_pairs, tile_grid, chunk)
-    slot = jnp.arange(p_total, dtype=jnp.int32)
-    seg_vals = jnp.stack([
-        aligned_start[:-1].astype(jnp.float32),
-        raw_start[:-1].astype(jnp.float32),
-        tile_counts.astype(jnp.float32),
-    ], axis=1)                                                    # [T, 3]
-    seg_slot = jnp.where(padded > 0, aligned_start[:-1], p_total)
-    svals = segmented_fill_rows(jax.lax.stop_gradient(seg_vals), seg_slot,
-                                p_total, interpret=interpret)
-    local = slot.astype(jnp.float32) - svals[:, 0]
-    src_pair = (svals[:, 1] + local).astype(jnp.int32)
-    slot_valid = (local < svals[:, 2]) & (local >= 0.0)
-    aligned_particle = jnp.where(
-        slot_valid, pair_particle[jnp.minimum(src_pair, max_pairs - 1)], -1)
-
     num_pairs = jnp.sum((pair_tile < num_tiles).astype(jnp.int32))
     overflow = jnp.maximum(total - max_pairs, 0)
-    return Binning(pair_particle=aligned_particle.astype(jnp.int32),
-                   tile_start=aligned_start,
+    return Binning(pair_particle=pair_particle.astype(jnp.int32),
+                   tile_start=raw_start,
                    num_pairs=num_pairs,
                    overflow=overflow.astype(jnp.int32))

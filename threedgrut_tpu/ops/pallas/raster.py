@@ -47,9 +47,10 @@ Data layout (built by threedgrut_tpu/render/gut.py):
   rays    [T, 256, 8] f32: lanes 0-2 origin, 3-5 dir, 6 tmin, 7 tmax.
   out     [T, 256, OUT] f32: lanes 0..F-1 features, F alpha, F+1 depth,
           F+2 hits, F+3 final transmittance (OUT = round_up(F+4, 8)).
-Tile pair segments are CHUNK-aligned (padding slots hold density=0
-records) so chunk DMAs never straddle tiles and the backward writes whole
-[R, CHUNK] gradient blocks race-free.
+Tile pair segments are raw [start, end) ranges of the tile-sorted pair
+list; chunk DMAs are floor/ceil-aligned around each range with boundary
+lanes masked, and the backward accumulates shared boundary chunks with a
+sequential read-modify-write (TPU grids execute sequentially).
 """
 
 from __future__ import annotations
@@ -416,9 +417,11 @@ def _cumsum_incl(x):
 
 
 def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
-                     cfg: RasterKernelConfig):
+                     cfg: RasterKernelConfig, lane_mask=None):
     """One chunk of front-to-back compositing (pixel-major layout).
 
+    ``lane_mask`` [1,K] masks candidates outside the tile's raw
+    [start, end) range (boundary chunks are shared between tiles).
     Returns (w, alpha_eff, hit_t, t_prev [256,K], t_out [256,1], canonical,
     hit_feats): hit_feats is the per-(pair, pixel) feature list when the
     chunk was re-sorted per ray (3DGRT) - downstream must then use the
@@ -426,6 +429,8 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
     """
     alpha, hit_t, canonical = chunk_hits_dispatch(rec, ray_o, ray_d, cfg)
     in_range = (hit_t > tmin) & (hit_t < tmax)
+    if lane_mask is not None:
+        in_range = in_range & lane_mask
     alpha = jnp.where(in_range, alpha, 0.0)
 
     hit_feats = None
@@ -484,8 +489,11 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
                 out_ref, chunk_buf, sem, *, cfg: RasterKernelConfig):
     t = pl.program_id(0)
     start = tile_start_ref[t]
-    nchunks = tile_count_ref[t] // CHUNK
+    end = start + tile_count_ref[t]
     first = start // CHUNK
+    nchunks = jnp.where(end > start,
+                        (end + CHUNK - 1) // CHUNK - first, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     ray_o = rays_ref[0, :, 0:3]
     ray_d = rays_ref[0, :, 3:6]
@@ -514,8 +522,10 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
 
         get_dma(slot, i).wait()
         rec = chunk_buf[slot]
+        g0 = (first + i) * CHUNK
+        lane_mask = (lane + g0 >= start) & (lane + g0 < end)
         w, _, hit_t, _, t_out, canonical, hit_feats = _chunk_composite(
-            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg)
+            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask)
         feat = feat + _accumulate_features(rec, w, canonical, hit_feats, cfg)
         depth = depth + jnp.sum(w * hit_t, axis=1, keepdims=True)
         hits = hits + jnp.sum((w > 0.0).astype(jnp.float32), axis=1,
@@ -552,12 +562,18 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
 
 def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
                 fwd_out_ref, grad_out_ref, grads_hbm,
-                chunk_buf, grad_buf, sem, out_sem, *,
+                chunk_buf, grad_buf, rmw_buf, sem, out_sem, rmw_sem, *,
                 cfg: RasterKernelConfig):
     t = pl.program_id(0)
     start = tile_start_ref[t]
-    nchunks = tile_count_ref[t] // CHUNK
+    end = start + tile_count_ref[t]
     first = start // CHUNK
+    nchunks = jnp.where(end > start,
+                        (end + CHUNK - 1) // CHUNK - first, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    # the first chunk may be shared with the previous tile's range: its
+    # gradients must accumulate (sequential grid -> race-free)
+    shared_first = jax.lax.rem(start, CHUNK) != 0
     f = cfg.feat_dim
 
     ray_o = rays_ref[0, :, 0:3]
@@ -598,12 +614,21 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
             get_dma(1 - slot, i + 1).start()
 
         get_dma(slot, i).wait()
+
+        # read-modify-write setup for a shared first chunk
+        @pl.when(shared_first & (i == 0))
+        def _():
+            pltpu.make_async_copy(grads_hbm.at[first], rmw_buf,
+                                  rmw_sem).start()
+
         rec = chunk_buf[slot]
+        g0 = (first + i) * CHUNK
+        lane_mask = (lane + g0 >= start) & (lane + g0 < end)
 
         # --- replay forward chunk ---
         (w, alpha_eff, hit_t, t_prev, t_out, canonical,
          sorted_feats) = _chunk_composite(
-            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg)
+            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask)
         t_after = t_prev * (1.0 - alpha_eff)
         next_alive = t_after > cfg.min_transmittance
         safe_t_after = jnp.where(next_alive, t_after, 1.0)
@@ -651,7 +676,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
 
         def chunk_fn(r):
             a, ht, canon = chunk_hits_dispatch(r, ray_o, ray_d, cfg)
-            in_range = (ht > tmin) & (ht < tmax)
+            in_range = (ht > tmin) & (ht < tmax) & lane_mask
             a = jnp.where(in_range, a, 0.0)
             if cfg.sorted_compositing:
                 fts = [jnp.broadcast_to(_row(r, cfg.feat_offset + c),
@@ -676,7 +701,13 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         _, vjp_fn = jax.vjp(chunk_fn, rec)
         (d_rec,) = vjp_fn((g_alpha, g_hit_t, g_feat))
 
-        grad_buf[:, :] = d_rec
+        @pl.when(shared_first & (i == 0))
+        def _():
+            pltpu.make_async_copy(grads_hbm.at[first], rmw_buf,
+                                  rmw_sem).wait()
+
+        grad_buf[:, :] = jnp.where(
+            shared_first & (i == 0), d_rec + rmw_buf[:, :], d_rec)
         out_dma = pltpu.make_async_copy(grad_buf, grads_hbm.at[first + i],
                                         out_sem)
         out_dma.start()
@@ -763,7 +794,9 @@ def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
         scratch_shapes=[
             pltpu.VMEM((2, cfg.record_dim, CHUNK), jnp.float32),
             pltpu.VMEM((cfg.record_dim, CHUNK), jnp.float32),
+            pltpu.VMEM((cfg.record_dim, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -812,7 +845,8 @@ def _rasterize_bwd(cfg, interpret, saved, grad_out):
     # the kernel writes only segment chunks; the tail past the last
     # segment is uninitialized
     n_chunks = records.shape[0]
-    last = (tile_start[-1] + tile_count[-1]) // CHUNK
+    last_pair = tile_start[-1] + tile_count[-1]
+    last = (last_pair + CHUNK - 1) // CHUNK
     used = jnp.arange(n_chunks, dtype=jnp.int32)[:, None, None] < last
     d_records = jnp.where(used, d_records, 0.0)
     return d_records, None, None, None

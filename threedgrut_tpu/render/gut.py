@@ -148,8 +148,7 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
     # pair records (differentiable gather from model params), laid out as
     # [C, record_dim, CHUNK] contiguous chunk blocks for single-DMA
     # streaming
-    idx = jnp.maximum(b.pair_particle, 0)
-    pad_valid = (b.pair_particle >= 0).astype(jnp.float32)[:, None]
+    idx = b.pair_particle
     quats = quat_normalize(model.params.rotation)
     p_total = b.pair_particle.shape[0]
     rdim = kcfg.record_dim
@@ -178,13 +177,9 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
             model.params.positions, quats, model.get_scale(),
             model.get_density(), feats,
             jnp.zeros((cap, pad_cols), jnp.float32)], axis=1)
+    # sentinel / out-of-range pairs lie outside every tile's [start, end)
+    # range and are lane-masked in the kernel - no value masking needed
     records = table[idx]
-    # padding slots must not contribute: zero their density column
-    records = jnp.concatenate([
-        records[:, :kcfg.density_row],
-        records[:, kcfg.density_row:kcfg.density_row + 1] * pad_valid,
-        records[:, kcfg.density_row + 1:],
-    ], axis=1)
     n_chunks = p_total // CHUNK
     records = records.reshape(n_chunks, CHUNK, rdim).transpose(0, 2, 1)
 
