@@ -57,7 +57,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -120,10 +120,6 @@ class RasterKernelConfig(NamedTuple):
     @property
     def out_dim(self) -> int:
         return ((self.feat_dim + 4 + 7) // 8) * 8
-
-    def legacy_tuple(self):
-        return (self.kernel_degree, self.min_response, self.min_alpha,
-                self.max_alpha, self.min_transmittance)
 
 
 # record field rows (general geometry)
