@@ -552,6 +552,94 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         out_ref[0, :, f + 4:] = jnp.zeros((TILE_PIX, pad), jnp.float32)
 
 
+
+def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, feat_acc,
+                     depth_acc, feat_total, depth_total, t_final, g_feat,
+                     g_t, g_depth, lane_mask, cfg: RasterKernelConfig):
+    """Per-chunk gradient computation shared by the backward kernels.
+
+    Returns (d_rec [R,K], t_out [256,1], feat_sums [256,F],
+    depth_add [256,1]).
+    """
+    f = cfg.feat_dim
+    (w, alpha_eff, hit_t, t_prev, t_out, canonical,
+     sorted_feats) = _chunk_composite(
+        rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask)
+    t_after = t_prev * (1.0 - alpha_eff)
+    next_alive = t_after > cfg.min_transmittance
+    safe_t_after = jnp.where(next_alive, t_after, 1.0)
+    active = alpha_eff > 0.0
+
+    if sorted_feats is not None:
+        hit_feats = sorted_feats
+    elif cfg.feature_mode == "constant":
+        hit_feats = [
+            jnp.broadcast_to(_row(rec, cfg.feat_offset + c), w.shape)
+            for c in range(f)]
+    else:
+        hit_feats = nht_hit_features(rec, canonical, cfg)
+
+    # residual formulation (gaussianParticles.cuh:543-612)
+    g_alpha = jnp.zeros_like(w)
+    sums = []
+    for c in range(f):
+        wf_c = w * hit_feats[c]
+        feat_upto_c = feat_acc[:, c:c + 1] + _cumsum_incl(wf_c)
+        res_c = jnp.where(next_alive,
+                          (feat_total[:, c:c + 1] - feat_upto_c)
+                          / safe_t_after, 0.0)
+        if cfg.feature_mode == "constant":
+            # guard valid only for non-negative (clamped SH) features
+            # (gaussianParticles.cuh:611); NHT features are signed
+            res_c = jnp.maximum(res_c, 0.0)
+        g_alpha = g_alpha + g_feat[:, c:c + 1] * t_prev * (hit_feats[c]
+                                                           - res_c)
+        sums.append(jnp.sum(wf_c, axis=1, keepdims=True))
+    depth_upto = depth_acc + _cumsum_incl(w * hit_t)
+    res_d = jnp.where(next_alive,
+                      (depth_total - depth_upto) / safe_t_after, 0.0)
+    res_d = jnp.maximum(res_d, 0.0)
+    g_alpha = g_alpha + g_depth * t_prev * (hit_t - res_d)
+    residual_trm = jnp.where(alpha_eff < 0.999999,
+                             t_final / (1.0 - alpha_eff), t_prev)
+    # dT_final/dalpha_j = -T_final / (1 - alpha_j)
+    g_alpha = g_alpha - g_t * residual_trm
+    g_alpha = jnp.where(active, g_alpha, 0.0)
+    g_hit_t = jnp.where(active, g_depth * w, 0.0)
+
+    # --- pull back into record space via autodiff ---
+    w_const = jax.lax.stop_gradient(w)
+
+    def chunk_fn(r):
+        a, ht, canon = chunk_hits_dispatch(r, ray_o, ray_d, cfg)
+        in_range = (ht > tmin) & (ht < tmax) & lane_mask
+        a = jnp.where(in_range, a, 0.0)
+        if cfg.sorted_compositing:
+            fts = [jnp.broadcast_to(_row(r, cfg.feat_offset + c),
+                                    a.shape) for c in range(f)]
+            key = jnp.where(a > 0.0, ht, jnp.float32(3.0e38))
+            key = jax.lax.stop_gradient(key)
+            _, sp = bitonic_sort_by_key(key, [a, ht] + fts)
+            a, ht = sp[0], sp[1]
+            fsum = jnp.concatenate(
+                [jnp.sum(w_const * ff, axis=1, keepdims=True)
+                 for ff in sp[2:]], axis=1)
+        elif cfg.feature_mode == "constant":
+            feats_kf = jnp.transpose(
+                r[cfg.feat_offset:cfg.feat_offset + f, :])
+            fsum = jax.lax.dot_general(
+                w_const, feats_kf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            fsum = nht_feature_weighted_sum(r, canon, w_const, None, cfg)
+        return a, ht, fsum
+
+    _, vjp_fn = jax.vjp(chunk_fn, rec)
+    (d_rec,) = vjp_fn((g_alpha, g_hit_t, g_feat))
+    return (d_rec, t_out, jnp.concatenate(sums, axis=1),
+            jnp.sum(w * hit_t, axis=1, keepdims=True))
+
+
 # ---------------------------------------------------------------------------
 # backward kernel
 # ---------------------------------------------------------------------------
@@ -620,82 +708,10 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         rec = chunk_buf[slot]
         g0 = (first + i) * CHUNK
         lane_mask = (lane + g0 >= start) & (lane + g0 < end)
-
-        # --- replay forward chunk ---
-        (w, alpha_eff, hit_t, t_prev, t_out, canonical,
-         sorted_feats) = _chunk_composite(
-            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask)
-        t_after = t_prev * (1.0 - alpha_eff)
-        next_alive = t_after > cfg.min_transmittance
-        safe_t_after = jnp.where(next_alive, t_after, 1.0)
-        active = alpha_eff > 0.0
-
-        if sorted_feats is not None:
-            hit_feats = sorted_feats
-        elif cfg.feature_mode == "constant":
-            hit_feats = [
-                jnp.broadcast_to(_row(rec, cfg.feat_offset + c), w.shape)
-                for c in range(f)]
-        else:
-            hit_feats = nht_hit_features(rec, canonical, cfg)
-
-        # residual formulation (gaussianParticles.cuh:543-612)
-        g_alpha = jnp.zeros_like(w)
-        sums = []
-        for c in range(f):
-            wf_c = w * hit_feats[c]
-            feat_upto_c = feat_acc[:, c:c + 1] + _cumsum_incl(wf_c)
-            res_c = jnp.where(next_alive,
-                              (feat_total[:, c:c + 1] - feat_upto_c)
-                              / safe_t_after, 0.0)
-            if cfg.feature_mode == "constant":
-                # guard valid only for non-negative (clamped SH) features
-                # (gaussianParticles.cuh:611); NHT features are signed
-                res_c = jnp.maximum(res_c, 0.0)
-            g_alpha = g_alpha + g_feat[:, c:c + 1] * t_prev * (hit_feats[c]
-                                                               - res_c)
-            sums.append(jnp.sum(wf_c, axis=1, keepdims=True))
-        depth_upto = depth_acc + _cumsum_incl(w * hit_t)
-        res_d = jnp.where(next_alive,
-                          (depth_total - depth_upto) / safe_t_after, 0.0)
-        res_d = jnp.maximum(res_d, 0.0)
-        g_alpha = g_alpha + g_depth * t_prev * (hit_t - res_d)
-        residual_trm = jnp.where(alpha_eff < 0.999999,
-                                 t_final / (1.0 - alpha_eff), t_prev)
-        # dT_final/dalpha_j = -T_final / (1 - alpha_j)
-        g_alpha = g_alpha - g_t * residual_trm
-        g_alpha = jnp.where(active, g_alpha, 0.0)
-        g_hit_t = jnp.where(active, g_depth * w, 0.0)
-
-        # --- pull back into record space via autodiff ---
-        w_const = jax.lax.stop_gradient(w)
-
-        def chunk_fn(r):
-            a, ht, canon = chunk_hits_dispatch(r, ray_o, ray_d, cfg)
-            in_range = (ht > tmin) & (ht < tmax) & lane_mask
-            a = jnp.where(in_range, a, 0.0)
-            if cfg.sorted_compositing:
-                fts = [jnp.broadcast_to(_row(r, cfg.feat_offset + c),
-                                        a.shape) for c in range(f)]
-                key = jnp.where(a > 0.0, ht, jnp.float32(3.0e38))
-                key = jax.lax.stop_gradient(key)
-                _, sp = bitonic_sort_by_key(key, [a, ht] + fts)
-                a, ht = sp[0], sp[1]
-                fsum = jnp.concatenate(
-                    [jnp.sum(w_const * ff, axis=1, keepdims=True)
-                     for ff in sp[2:]], axis=1)
-            elif cfg.feature_mode == "constant":
-                feats_kf = jnp.transpose(
-                    r[cfg.feat_offset:cfg.feat_offset + f, :])
-                fsum = jax.lax.dot_general(
-                    w_const, feats_kf, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            else:
-                fsum = nht_feature_weighted_sum(r, canon, w_const, None, cfg)
-            return a, ht, fsum
-
-        _, vjp_fn = jax.vjp(chunk_fn, rec)
-        (d_rec,) = vjp_fn((g_alpha, g_hit_t, g_feat))
+        d_rec, t_out, sums, depth_add = _bwd_chunk_grads(
+            rec, ray_o, ray_d, tmin, tmax, t_cur, feat_acc, depth_acc,
+            feat_total, depth_total, t_final, g_feat, g_t, g_depth,
+            lane_mask, cfg)
 
         @pl.when(shared_first & (i == 0))
         def _():
@@ -708,8 +724,8 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
                                         out_sem)
         out_dma.start()
 
-        feat_acc = feat_acc + jnp.concatenate(sums, axis=1)
-        depth_acc = depth_acc + jnp.sum(w * hit_t, axis=1, keepdims=True)
+        feat_acc = feat_acc + sums
+        depth_acc = depth_acc + depth_add
         out_dma.wait()
         return i + 1, t_out, feat_acc, depth_acc
 
@@ -849,3 +865,185 @@ def _rasterize_bwd(cfg, interpret, saved, grad_out):
 
 
 rasterize_tiles.defvjp(_rasterize_fwd, _rasterize_bwd)
+
+# ---------------------------------------------------------------------------
+# table-gradient backward: accumulate per-PARTICLE gradients in VMEM
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel_table(tile_start_ref, tile_count_ref, records_hbm, ids_hbm,
+                      rays_ref, fwd_out_ref, grad_out_ref, d_table_hbm,
+                      chunk_buf, dt_buf, acc, ids_smem, sem, ids_sem,
+                      out_sem, *, cfg: RasterKernelConfig, table_rows: int):
+    """Backward with an on-chip per-particle gradient table.
+
+    The TPU grid executes sequentially, so a persistent VMEM accumulator
+    indexed by particle id is race-free across tiles - this replaces the
+    d_records HBM roundtrip + XLA scatter-add of the generic path (the
+    analogue of the reference's atomicAdd gradient buffers,
+    referenceBwdOptix.cu:103-171, without atomics).
+    """
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    start = tile_start_ref[t]
+    end = start + tile_count_ref[t]
+    first = start // CHUNK
+    nchunks = jnp.where(end > start,
+                        (end + CHUNK - 1) // CHUNK - first, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    f = cfg.feat_dim
+
+    @pl.when(t == 0)
+    def _():
+        acc[:, :] = jnp.zeros_like(acc)
+
+    ray_o = rays_ref[0, :, 0:3]
+    ray_d = rays_ref[0, :, 3:6]
+    tmin = rays_ref[0, :, 6:7]
+    tmax = rays_ref[0, :, 7:8]
+    feat_total = fwd_out_ref[0, :, 0:f]
+    depth_total = fwd_out_ref[0, :, f + 1:f + 2]
+    t_final = fwd_out_ref[0, :, f + 3:f + 4]
+    g_feat = grad_out_ref[0, :, 0:f]
+    g_t = grad_out_ref[0, :, f + 3:f + 4] - grad_out_ref[0, :, f:f + 1]
+    g_depth = grad_out_ref[0, :, f + 1:f + 2]
+
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(records_hbm.at[first + i],
+                                     chunk_buf.at[slot], sem.at[slot])
+
+    def get_ids_dma(slot, i):
+        return pltpu.make_async_copy(ids_hbm.at[first + i],
+                                     ids_smem.at[slot], ids_sem.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+        get_ids_dma(0, 0).start()
+
+    def cond(state):
+        i, t_cur, _, _ = state
+        return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
+
+    def body(state):
+        i, t_cur, feat_acc, depth_acc = state
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            get_dma(1 - slot, i + 1).start()
+            get_ids_dma(1 - slot, i + 1).start()
+
+        get_dma(slot, i).wait()
+        get_ids_dma(slot, i).wait()
+        rec = chunk_buf[slot]
+        g0 = (first + i) * CHUNK
+        lane_mask = (lane + g0 >= start) & (lane + g0 < end)
+        d_rec, t_out, sums, depth_add = _bwd_chunk_grads(
+            rec, ray_o, ray_d, tmin, tmax, t_cur, feat_acc, depth_acc,
+            feat_total, depth_total, t_final, g_feat, g_t, g_depth,
+            lane_mask, cfg)
+
+        dt_buf[:, :] = jnp.transpose(d_rec)      # [CHUNK, R]
+
+        def accum(j, _):
+            idx = ids_smem[slot, j]
+            acc[pl.ds(idx, 1), :] = (acc[pl.ds(idx, 1), :]
+                                     + dt_buf[pl.ds(j, 1), :])
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, accum, 0)
+        return i + 1, t_out, feat_acc + sums, depth_acc + depth_add
+
+    init = (jnp.asarray(0, jnp.int32),
+            jnp.ones((TILE_PIX, 1), jnp.float32),
+            jnp.zeros((TILE_PIX, f), jnp.float32),
+            jnp.zeros((TILE_PIX, 1), jnp.float32))
+    i_end, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+    @pl.when((i_end > 0) & (i_end < nchunks))
+    def _():
+        get_dma(jax.lax.rem(i_end, 2), i_end).wait()
+        get_ids_dma(jax.lax.rem(i_end, 2), i_end).wait()
+
+    @pl.when(t == nt - 1)
+    def _():
+        dma = pltpu.make_async_copy(acc, d_table_hbm, out_sem)
+        dma.start()
+        dma.wait()
+
+
+def _pallas_backward_table(records, ids, tile_start, tile_count, rays,
+                           fwd_out, grad_out, cfg, table_rows, interpret):
+    num_tiles = rays.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_PIX, cfg.out_dim),
+                         lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_PIX, cfg.out_dim),
+                         lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, cfg.record_dim, CHUNK), jnp.float32),
+            pltpu.VMEM((CHUNK, cfg.record_dim), jnp.float32),
+            pltpu.VMEM((table_rows, cfg.record_dim), jnp.float32),
+            pltpu.SMEM((2, CHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_table, cfg=cfg,
+                          table_rows=table_rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((table_rows, cfg.record_dim),
+                                       jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_start, tile_count, records, ids, rays, fwd_out, grad_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def rasterize_tiles_table(table: jnp.ndarray, records_sg: jnp.ndarray,
+                          ids: jnp.ndarray, tile_start: jnp.ndarray,
+                          tile_count: jnp.ndarray, rays: jnp.ndarray,
+                          cfg: RasterKernelConfig, interpret: bool = False):
+    """rasterize_tiles variant whose gradient flows to the per-particle
+    TABLE (accumulated on-chip) instead of per-pair records.
+
+    Args:
+        table: [table_rows, record_dim] per-particle records (the
+            differentiable input).
+        records_sg: stop-gradient pair records gathered from ``table``
+            (the kernels' streaming input).
+        ids: [C, CHUNK] int32 per-pair particle row.
+    """
+    return _pallas_forward(records_sg, tile_start, tile_count, rays, cfg,
+                           interpret)
+
+
+def _rasterize_table_fwd(table, records_sg, ids, tile_start, tile_count,
+                         rays, cfg, interpret):
+    out = _pallas_forward(records_sg, tile_start, tile_count, rays, cfg,
+                          interpret)
+    return out, (table.shape[0], records_sg, ids, tile_start, tile_count,
+                 rays, out)
+
+
+def _rasterize_table_bwd(cfg, interpret, saved, grad_out):
+    (table_rows, records_sg, ids, tile_start, tile_count, rays,
+     fwd_out) = saved
+    d_table = _pallas_backward_table(records_sg, ids, tile_start,
+                                     tile_count, rays, fwd_out, grad_out,
+                                     cfg, table_rows, interpret)
+    return d_table, None, None, None, None, None
+
+
+rasterize_tiles_table.defvjp(_rasterize_table_fwd, _rasterize_table_bwd)

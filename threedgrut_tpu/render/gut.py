@@ -22,7 +22,7 @@ from ..ops import binning as binning_ops
 from ..ops import ut as ut_ops
 from ..ops.cameras import CameraModel
 from ..ops.pallas.raster import (CHUNK, RasterKernelConfig,
-                                 rasterize_tiles)
+                                 rasterize_tiles, rasterize_tiles_table)
 from ..ops.quaternion import quat_normalize
 from ..ops.sh import eval_sh_radiance
 from ..ops.ut import TILE_X, TILE_Y, UTConfig
@@ -182,6 +182,10 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
     records = table[idx]
     n_chunks = p_total // CHUNK
     records = records.reshape(n_chunks, CHUNK, rdim).transpose(0, 2, 1)
+    # gradient route: when the per-particle table fits in VMEM the backward
+    # kernel accumulates d_table on-chip (skips the XLA scatter-add);
+    # larger capacities use the per-pair d_records path
+    table_grad = cap * rdim * 4 <= (8 << 20)
 
     # rays (padded to the tile grid; padding rays get empty t-ranges)
     if rays is None:
@@ -203,8 +207,14 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
     rays_packed = pack_rays(ray_o, ray_d, tmin, tmax, grid)
 
     tile_count = b.tile_start[1:] - b.tile_start[:-1]
-    out = rasterize_tiles(records, b.tile_start[:-1], tile_count,
-                          rays_packed, kcfg, interpret)
+    if table_grad:
+        ids = b.pair_particle.reshape(n_chunks, CHUNK)
+        out = rasterize_tiles_table(
+            table, jax.lax.stop_gradient(records), ids,
+            b.tile_start[:-1], tile_count, rays_packed, kcfg, interpret)
+    else:
+        out = rasterize_tiles(records, b.tile_start[:-1], tile_count,
+                              rays_packed, kcfg, interpret)
 
     img = unpack_tiles(out, grid, h, w, kcfg.out_dim)
     fd = kcfg.feat_dim

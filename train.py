@@ -50,6 +50,16 @@ def make_model(conf, dataset):
         default_density=conf.model.default_density,
         default_scale_factor=conf.model.default_scale_factor)
 
+    # static capacity: GS densification grows the count (clone/split), so
+    # leave headroom; MCMC has a hard cap (strategy.add.max_n_gaussians)
+    from threedgrut_tpu.models.gaussians import default_capacity_for
+    strat = conf.get("strategy", {})
+    if "MCMC" in str(strat.get("method", "")):
+        cap_for = lambda n0: default_capacity_for(
+            max(n0, strat.get("add", {}).get("max_n_gaussians", n0)))
+    else:
+        cap_for = lambda n0: default_capacity_for(n0, headroom=4.0)
+
     init = conf.get("initialization", {}).get("method", "colmap")
     if conf.get("import_ply", {}).get("enabled"):
         from threedgrut_tpu.export.ply import import_model
@@ -57,10 +67,12 @@ def make_model(conf, dataset):
     if init == "colmap" and hasattr(dataset, "load_points3d"):
         pts, rgb, _ = dataset.load_points3d()
         return initialize_from_points(mc, pts, rgb.astype(np.float32),
+                                      capacity=cap_for(len(pts)),
                                       seed=conf.seed_initialization)
     n = conf.get("initialization", {}).get("num_gaussians", 100000)
     extent = dataset.get_scene_extent()
     return random_initialization(mc, n, extent=extent,
+                                 capacity=cap_for(n),
                                  seed=conf.seed_initialization)
 
 
