@@ -867,148 +867,8 @@ def _rasterize_bwd(cfg, interpret, saved, grad_out):
 rasterize_tiles.defvjp(_rasterize_fwd, _rasterize_bwd)
 
 # ---------------------------------------------------------------------------
-# table-gradient backward: accumulate per-PARTICLE gradients in VMEM
+# table-gradient variant: classic backward + on-chip row accumulation
 # ---------------------------------------------------------------------------
-
-def _bwd_kernel_table(tile_start_ref, tile_count_ref, records_hbm, ids_hbm,
-                      rays_ref, fwd_out_ref, grad_out_ref, d_table_hbm,
-                      chunk_buf, dt_buf, acc, ids_smem, sem, ids_sem,
-                      out_sem, *, cfg: RasterKernelConfig, table_rows: int):
-    """Backward with an on-chip per-particle gradient table.
-
-    The TPU grid executes sequentially, so a persistent VMEM accumulator
-    indexed by particle id is race-free across tiles - this replaces the
-    d_records HBM roundtrip + XLA scatter-add of the generic path (the
-    analogue of the reference's atomicAdd gradient buffers,
-    referenceBwdOptix.cu:103-171, without atomics).
-    """
-    t = pl.program_id(0)
-    nt = pl.num_programs(0)
-    start = tile_start_ref[t]
-    end = start + tile_count_ref[t]
-    first = start // CHUNK
-    nchunks = jnp.where(end > start,
-                        (end + CHUNK - 1) // CHUNK - first, 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    f = cfg.feat_dim
-
-    @pl.when(t == 0)
-    def _():
-        acc[:, :] = jnp.zeros_like(acc)
-
-    ray_o = rays_ref[0, :, 0:3]
-    ray_d = rays_ref[0, :, 3:6]
-    tmin = rays_ref[0, :, 6:7]
-    tmax = rays_ref[0, :, 7:8]
-    feat_total = fwd_out_ref[0, :, 0:f]
-    depth_total = fwd_out_ref[0, :, f + 1:f + 2]
-    t_final = fwd_out_ref[0, :, f + 3:f + 4]
-    g_feat = grad_out_ref[0, :, 0:f]
-    g_t = grad_out_ref[0, :, f + 3:f + 4] - grad_out_ref[0, :, f:f + 1]
-    g_depth = grad_out_ref[0, :, f + 1:f + 2]
-
-    def get_dma(slot, i):
-        return pltpu.make_async_copy(records_hbm.at[first + i],
-                                     chunk_buf.at[slot], sem.at[slot])
-
-    def get_ids_dma(slot, i):
-        return pltpu.make_async_copy(ids_hbm.at[first + i],
-                                     ids_smem.at[slot], ids_sem.at[slot])
-
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0, 0).start()
-        get_ids_dma(0, 0).start()
-
-    def cond(state):
-        i, t_cur, _, _ = state
-        return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
-
-    def body(state):
-        i, t_cur, feat_acc, depth_acc = state
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < nchunks)
-        def _():
-            get_dma(1 - slot, i + 1).start()
-            get_ids_dma(1 - slot, i + 1).start()
-
-        get_dma(slot, i).wait()
-        get_ids_dma(slot, i).wait()
-        rec = chunk_buf[slot]
-        g0 = (first + i) * CHUNK
-        lane_mask = (lane + g0 >= start) & (lane + g0 < end)
-        d_rec, t_out, sums, depth_add = _bwd_chunk_grads(
-            rec, ray_o, ray_d, tmin, tmax, t_cur, feat_acc, depth_acc,
-            feat_total, depth_total, t_final, g_feat, g_t, g_depth,
-            lane_mask, cfg)
-
-        dt_buf[:, :] = jnp.transpose(d_rec)      # [CHUNK, R]
-
-        def accum(j, _):
-            idx = ids_smem[slot, j]
-            acc[pl.ds(idx, 1), :] = (acc[pl.ds(idx, 1), :]
-                                     + dt_buf[pl.ds(j, 1), :])
-            return 0
-
-        jax.lax.fori_loop(0, CHUNK, accum, 0)
-        return i + 1, t_out, feat_acc + sums, depth_acc + depth_add
-
-    init = (jnp.asarray(0, jnp.int32),
-            jnp.ones((TILE_PIX, 1), jnp.float32),
-            jnp.zeros((TILE_PIX, f), jnp.float32),
-            jnp.zeros((TILE_PIX, 1), jnp.float32))
-    i_end, _, _, _ = jax.lax.while_loop(cond, body, init)
-
-    @pl.when((i_end > 0) & (i_end < nchunks))
-    def _():
-        get_dma(jax.lax.rem(i_end, 2), i_end).wait()
-        get_ids_dma(jax.lax.rem(i_end, 2), i_end).wait()
-
-    @pl.when(t == nt - 1)
-    def _():
-        dma = pltpu.make_async_copy(acc, d_table_hbm, out_sem)
-        dma.start()
-        dma.wait()
-
-
-def _pallas_backward_table(records, ids, tile_start, tile_count, rays,
-                           fwd_out, grad_out, cfg, table_rows, interpret):
-    num_tiles = rays.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_PIX, cfg.out_dim),
-                         lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_PIX, cfg.out_dim),
-                         lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, cfg.record_dim, CHUNK), jnp.float32),
-            pltpu.VMEM((CHUNK, cfg.record_dim), jnp.float32),
-            pltpu.VMEM((table_rows, cfg.record_dim), jnp.float32),
-            pltpu.SMEM((2, CHUNK), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(_bwd_kernel_table, cfg=cfg,
-                          table_rows=table_rows),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((table_rows, cfg.record_dim),
-                                       jnp.float32),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_count, records, ids, rays, fwd_out, grad_out)
-
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def rasterize_tiles_table(table: jnp.ndarray, records_sg: jnp.ndarray,
@@ -1016,13 +876,14 @@ def rasterize_tiles_table(table: jnp.ndarray, records_sg: jnp.ndarray,
                           tile_count: jnp.ndarray, rays: jnp.ndarray,
                           cfg: RasterKernelConfig, interpret: bool = False):
     """rasterize_tiles variant whose gradient flows to the per-particle
-    TABLE (accumulated on-chip) instead of per-pair records.
+    TABLE: the backward runs the standard kernel to per-pair d_records and
+    folds them into d_table with a sequential Pallas row-accumulator
+    (ops/pallas/scatter.py) instead of an XLA scatter-add.
 
     Args:
         table: [table_rows, record_dim] per-particle records (the
-            differentiable input).
-        records_sg: stop-gradient pair records gathered from ``table``
-            (the kernels' streaming input).
+            differentiable input; must fit in VMEM).
+        records_sg: stop-gradient pair records gathered from ``table``.
         ids: [C, CHUNK] int32 per-pair particle row.
     """
     return _pallas_forward(records_sg, tile_start, tile_count, rays, cfg,
@@ -1038,11 +899,21 @@ def _rasterize_table_fwd(table, records_sg, ids, tile_start, tile_count,
 
 
 def _rasterize_table_bwd(cfg, interpret, saved, grad_out):
+    from .scatter import scatter_accumulate_rows
+
     (table_rows, records_sg, ids, tile_start, tile_count, rays,
      fwd_out) = saved
-    d_table = _pallas_backward_table(records_sg, ids, tile_start,
-                                     tile_count, rays, fwd_out, grad_out,
-                                     cfg, table_rows, interpret)
+    d_records = _pallas_backward(records_sg, tile_start, tile_count, rays,
+                                 fwd_out, grad_out, cfg, interpret)
+    # zero the chunks past the last segment (uninitialized) before
+    # accumulation
+    n_chunks = d_records.shape[0]
+    last_pair = tile_start[-1] + tile_count[-1]
+    last = (last_pair + CHUNK - 1) // CHUNK
+    used = jnp.arange(n_chunks, dtype=jnp.int32)[:, None, None] < last
+    d_records = jnp.where(used, d_records, 0.0)
+    d_table = scatter_accumulate_rows(d_records, ids, table_rows,
+                                      interpret=interpret)
     return d_table, None, None, None, None, None
 
 
