@@ -31,7 +31,7 @@ def _scatter_kernel(d_rec_ref, ids_ref, out_ref, acc, buf, out_sem, *,
     buf[:, :] = jnp.transpose(d_rec_ref[0])      # [CHUNK, R]
 
     def body(j, _):
-        idx = ids_ref[0, j]
+        idx = ids_ref[0, 0, j]
         acc[pl.ds(idx, 1), :] = acc[pl.ds(idx, 1), :] + buf[pl.ds(j, 1), :]
         return 0
 
@@ -52,13 +52,14 @@ def scatter_accumulate_rows(d_records: jnp.ndarray, ids: jnp.ndarray,
     (rows whose d_records are all-zero may carry any valid id).
     """
     c, r, _ = d_records.shape
+    ids = ids.reshape(c, 1, CHUNK)
     return pl.pallas_call(
         functools.partial(_scatter_kernel, n_rows=n_rows),
         grid=(c,),
         in_specs=[
             pl.BlockSpec((1, r, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
