@@ -3,8 +3,12 @@
 Accumulates per-pair gradient rows into a per-particle table held in VMEM
 (TPU grids execute sequentially, so the accumulator is race-free). This
 replaces XLA's scatter-add lowering (~20 ms for 1M x 16 rows on v5e) for
-capacities whose table fits on chip; the raster backward's d_records
-gather-transpose becomes one streaming pass.
+capacities whose table fits on chip.
+
+VMEM 2D arrays pad the lane dimension to 128, so a [rows, 16] accumulator
+would occupy 8x its logical size; instead 8 particles are packed per
+128-lane row ([rows/8, 128], particle idx -> row idx//8, lanes
+(idx%8)*16 .. +16) with a static 8-way switch selecting the lane slice.
 """
 
 from __future__ import annotations
@@ -17,10 +21,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 128
+PACK = 8          # particles per 128-lane accumulator row
+FIELDS = 16       # record fields per particle (fixed SH layout)
 
 
-def _scatter_kernel(d_rec_ref, ids_ref, out_ref, acc, buf, out_sem, *,
-                    n_rows: int):
+def _scatter_kernel(d_rec_ref, ids_ref, out_ref, acc, buf, out_sem):
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -28,11 +33,23 @@ def _scatter_kernel(d_rec_ref, ids_ref, out_ref, acc, buf, out_sem, *,
     def _():
         acc[:, :] = jnp.zeros_like(acc)
 
-    buf[:, :] = jnp.transpose(d_rec_ref[0])      # [CHUNK, R]
+    buf[:, :] = jnp.transpose(d_rec_ref[0])      # [CHUNK, R<=16]
 
     def body(j, _):
         idx = ids_ref[0, 0, j]
-        acc[pl.ds(idx, 1), :] = acc[pl.ds(idx, 1), :] + buf[pl.ds(j, 1), :]
+        row = idx // PACK
+        sub = idx % PACK
+
+        def make_branch(k):
+            def branch(_):
+                lo = k * FIELDS
+                acc[pl.ds(row, 1), lo:lo + FIELDS] = (
+                    acc[pl.ds(row, 1), lo:lo + FIELDS]
+                    + buf[pl.ds(j, 1), :])
+                return 0
+            return branch
+
+        jax.lax.switch(sub, [make_branch(k) for k in range(PACK)], 0)
         return 0
 
     jax.lax.fori_loop(0, CHUNK, body, 0)
@@ -48,27 +65,36 @@ def scatter_accumulate_rows(d_records: jnp.ndarray, ids: jnp.ndarray,
                             n_rows: int, interpret: bool = False):
     """sum_j d_records[j] into rows ids[j] -> [n_rows, R].
 
-    d_records: [C, R, CHUNK] chunked rows; ids: [C, CHUNK] int32 row ids
-    (rows whose d_records are all-zero may carry any valid id).
+    d_records: [C, R, CHUNK] chunked rows (R <= 16, padded to 16);
+    ids: [C, CHUNK] int32 row ids in [0, n_rows) (rows whose d_records are
+    all-zero may carry any valid id). n_rows must be a multiple of 8.
     """
     c, r, _ = d_records.shape
+    if r > FIELDS:
+        raise ValueError(f"record dim {r} > {FIELDS}: use the XLA scatter")
+    if n_rows % PACK:
+        raise ValueError(f"n_rows {n_rows} must be a multiple of {PACK}")
+    if r < FIELDS:
+        d_records = jnp.pad(d_records, ((0, 0), (0, FIELDS - r), (0, 0)))
     ids = ids.reshape(c, 1, CHUNK)
-    return pl.pallas_call(
-        functools.partial(_scatter_kernel, n_rows=n_rows),
+    packed = pl.pallas_call(
+        _scatter_kernel,
         grid=(c,),
         in_specs=[
-            pl.BlockSpec((1, r, CHUNK), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, FIELDS, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((n_rows, r), jnp.float32),
-            pltpu.VMEM((CHUNK, r), jnp.float32),
+            pltpu.VMEM((n_rows // PACK, PACK * FIELDS), jnp.float32),
+            pltpu.VMEM((CHUNK, FIELDS), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
-        out_shape=jax.ShapeDtypeStruct((n_rows, r), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows // PACK, PACK * FIELDS),
+                                       jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(d_records, ids)
+    return packed.reshape(n_rows, FIELDS)[:, :r]
