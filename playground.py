@@ -49,12 +49,16 @@ def main():
     parser.add_argument("--port", type=int, default=8090)
     parser.add_argument("--resolution", type=int, default=512)
     parser.add_argument("--demo-primitives", action="store_true")
+    parser.add_argument("--mesh", action="append", default=[],
+                        metavar="FILE[:glass|mirror|pbr]",
+                        help=".obj/.glb mesh asset to insert (repeatable)")
     parser.add_argument("--envmap", default=None, help="lat-long image")
     args = parser.parse_args()
 
     from threedgrut_tpu.playground.engine import (Engine3DGRUT, EngineConfig,
                                                   EnvironmentMap, PBRMaterial)
-    from threedgrut_tpu.playground.mesh import make_box, make_icosphere
+    from threedgrut_tpu.playground.mesh import (load_mesh_file, make_box,
+                                                make_icosphere)
     from threedgrut_tpu.playground.web_gui import ViewerServer, orbit_camera
 
     model = load_model(args.asset)
@@ -73,6 +77,11 @@ def main():
         engine.add_primitive(
             make_box(center + [-0.8, 0, 0], (0.5, 0.5, 0.5)),
             PBRMaterial(kind="mirror", base_color=(0.9, 0.9, 0.9)))
+    for spec in args.mesh:
+        path, _, kind = spec.partition(":")
+        mat = PBRMaterial(kind=kind or "pbr")
+        for m in load_mesh_file(path):
+            engine.add_primitive(m, mat)
 
     res = (args.resolution, args.resolution)
 

@@ -64,6 +64,62 @@ class TestUSDA:
             usd_mod.export_usda(str(tmp_path / "a.usdz"), _rand_attrs(), 2)
 
 
+class TestPPISPUSD:
+    def _params(self, n_cams=2, n_frames=4, seed=0):
+        rng = np.random.default_rng(seed)
+        return {
+            "exposure": rng.normal(0, 0.3, n_frames).astype(np.float32),
+            "vignette": rng.normal(0, 0.05, (n_cams, 3)).astype(np.float32),
+            "color_matrix": (np.eye(3)[None]
+                             + rng.normal(0, 0.05, (n_cams, 3, 3))
+                             ).astype(np.float32),
+            "color_bias": rng.normal(0, 0.02, (n_cams, 3)).astype(np.float32),
+            "crf_gamma": rng.normal(0, 0.1, (n_cams, 3)).astype(np.float32),
+            "crf_gain": rng.normal(0, 0.1, (n_cams, 3)).astype(np.float32),
+        }
+
+    def test_roundtrip(self, tmp_path):
+        p = self._params()
+        path = str(tmp_path / "isp.usda")
+        usd_mod.export_ppisp_usda(path, p)
+        back = usd_mod.import_ppisp_usda(path)
+        for k, v in p.items():
+            np.testing.assert_allclose(back[k], v, atol=1e-4, err_msg=k)
+
+    def test_append_to_stage(self, tmp_path):
+        path = str(tmp_path / "scene.usda")
+        usd_mod.export_usda(path, _rand_attrs(), sh_degree=2)
+        usd_mod.export_ppisp_usda(path, self._params(), append=True)
+        # both payloads survive in one stage
+        assert usd_mod.import_usda(path)["positions"].shape[1] == 3
+        assert usd_mod.import_ppisp_usda(path)["color_matrix"].shape == \
+            (2, 3, 3)
+
+    def test_sh_bake_matches_linear_isp(self):
+        from threedgrut_tpu.models.post_processing import apply_ppisp
+        p = self._params()
+        # linear-only ISP: zero the nonlinear/spatial parts
+        p["vignette"] *= 0
+        p["crf_gamma"] *= 0
+        p["crf_gain"] *= 0
+        rng = np.random.default_rng(1)
+        sh = rng.normal(0, 0.05, (16, 9, 3)).astype(np.float32)
+        sh[:, 0, :] += 2.0   # positive radiance (ISP clamps at 0 pre-CRF)
+        dirs = rng.normal(size=(16, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+        baked = usd_mod.bake_ppisp_into_sh(sh, p, camera_idx=1, frame_idx=2)
+        rad_baked = np.asarray(eval_sh_radiance(jnp.asarray(baked),
+                                                jnp.asarray(dirs), 2))
+        rad_raw = np.asarray(eval_sh_radiance(jnp.asarray(sh),
+                                              jnp.asarray(dirs), 2))
+        # apply the ISP per "pixel" (treat each particle as one pixel)
+        isp = np.asarray(apply_ppisp(
+            {k: jnp.asarray(v) for k, v in p.items()},
+            jnp.asarray(rad_raw).reshape(4, 4, 3), 1, 2)).reshape(16, 3)
+        np.testing.assert_allclose(rad_baked, isp, atol=1e-4)
+
+
 class TestTranscode:
     def test_ply_to_usda_roundtrip(self, tmp_path):
         attrs = _rand_attrs(seed=1)

@@ -6,8 +6,45 @@ import numpy as np
 from scene_utils import make_test_scene
 from threedgrut_tpu.playground.engine import (Engine3DGRUT, EngineConfig,
                                               EnvironmentMap, PBRMaterial)
-from threedgrut_tpu.playground.mesh import (TriangleSoup, make_box,
+from threedgrut_tpu.playground.mesh import (TriangleSoup, load_glb,
+                                            load_mesh_file, make_box,
                                             make_icosphere)
+
+
+def write_test_glb(path):
+    """Two-triangle quad under a translated node, u16 indices."""
+    import json
+    import struct
+
+    verts = np.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                       np.float32)
+    faces = np.asarray([0, 1, 2, 0, 2, 3], np.uint16)
+    vbytes = verts.tobytes()
+    ibytes = faces.tobytes() + b"\x00\x00"  # pad to 4
+    gltf = {
+        "asset": {"version": "2.0"}, "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0, "translation": [0, 0, 5]}],
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": 0}, "indices": 1}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 6,
+             "type": "SCALAR"}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(vbytes)},
+            {"buffer": 0, "byteOffset": len(vbytes),
+             "byteLength": len(faces.tobytes())}],
+        "buffers": [{"byteLength": len(vbytes) + len(ibytes)}],
+    }
+    jchunk = json.dumps(gltf).encode()
+    jchunk += b" " * (-len(jchunk) % 4)
+    bchunk = vbytes + ibytes
+    body = (struct.pack("<II", len(jchunk), 0x4E4F534A) + jchunk
+            + struct.pack("<II", len(bchunk), 0x004E4942) + bchunk)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<4sII", b"glTF", 2, 12 + len(body)) + body)
 
 
 class TestMesh:
@@ -19,6 +56,22 @@ class TestMesh:
         np.testing.assert_allclose(float(t[0]), 4.0, atol=1e-5)
         assert int(tri[1]) == -1  # second ray misses
         np.testing.assert_allclose(np.asarray(n[0]), [0, 0, -1], atol=1e-5)
+
+    def test_glb_roundtrip(self, tmp_path):
+        p = str(tmp_path / "quad.glb")
+        write_test_glb(p)
+        meshes = load_glb(p)
+        assert len(meshes) == 1
+        m = meshes[0]
+        assert m.faces.shape == (2, 3)
+        # node translation [0,0,5] applied
+        np.testing.assert_allclose(m.vertices[:, 2], 5.0)
+        np.testing.assert_allclose(m.vertices[2], [1, 1, 5], atol=1e-6)
+        # dispatcher picks the glb path and the soup is hittable
+        soup = TriangleSoup(load_mesh_file(p))
+        t, tri, n, mat = soup.closest_hit(
+            jnp.asarray([[0.5, 0.5, 0.0]]), jnp.asarray([[0.0, 0.0, 1.0]]))
+        np.testing.assert_allclose(float(t[0]), 5.0, atol=1e-5)
 
     def test_icosphere_hit_distance(self):
         soup = TriangleSoup([make_icosphere((0, 0, 3), 1.0, 3)])

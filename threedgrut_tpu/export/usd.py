@@ -143,6 +143,91 @@ def import_usda(path: str) -> dict:
                 sh_degree=deg)
 
 
+def export_ppisp_usda(path: str, ppisp_params: Dict,
+                      append: bool = False):
+    """Author PPISP parameters as a USD render-settings scope.
+
+    Reference parity: the ppisp package's USD writer attaches the learned
+    ISP (exposure / vignetting / color transform / CRF) to the stage so a
+    downstream renderer can replay the capture-time processing. pxr is
+    unavailable, so this emits the same data as a `Scope "PPISP"` with
+    per-camera custom attributes in usda text.
+    """
+    p = {k: np.asarray(v, np.float32) for k, v in ppisp_params.items()}
+    n_cams = p["vignette"].shape[0]
+    out = io.StringIO()
+    if not append:
+        out.write('#usda 1.0\n(\n    defaultPrim = "PPISP"\n)\n\n')
+    out.write('def Scope "PPISP"\n{\n')
+    out.write(f'    custom int numCameras = {n_cams}\n')
+    out.write('    custom float[] exposureLog2 = '
+              + _fmt_floats(p["exposure"].reshape(-1, 1), 1) + "\n")
+    out.write('    custom float3[] vignetteCoefficients = '
+              + _fmt_floats(p["vignette"], 3) + "\n")
+    out.write('    custom float[] colorMatrix = '
+              + _fmt_floats(p["color_matrix"].reshape(-1, 1), 1) + "\n")
+    out.write('    custom float3[] colorBias = '
+              + _fmt_floats(p["color_bias"], 3) + "\n")
+    out.write('    custom float3[] crfGamma = '
+              + _fmt_floats(p["crf_gamma"], 3) + "\n")
+    out.write('    custom float3[] crfGain = '
+              + _fmt_floats(p["crf_gain"], 3) + "\n")
+    out.write('}\n')
+    mode = "a" if append else "w"
+    with open(path, mode) as f:
+        f.write(out.getvalue())
+
+
+def import_ppisp_usda(path: str) -> Dict:
+    """Parse PPISP scope attributes written by export_ppisp_usda."""
+    with open(path) as f:
+        text = f.read()
+
+    def grab(name):
+        i = text.index(name)
+        start = text.index("[", text.index("=", i + len(name)))
+        end = text.index("]", start)
+        return text[start + 1:end]
+
+    cm = _parse_tuple_array(grab("float[] colorMatrix"), 1)[:, 0]
+    n_cams = cm.size // 9
+    return {
+        "exposure": _parse_tuple_array(grab("float[] exposureLog2"),
+                                       1)[:, 0],
+        "vignette": _parse_tuple_array(grab("float3[] vignetteCoefficients"),
+                                       3),
+        "color_matrix": cm.reshape(n_cams, 3, 3),
+        "color_bias": _parse_tuple_array(grab("float3[] colorBias"), 3),
+        "crf_gamma": _parse_tuple_array(grab("float3[] crfGamma"), 3),
+        "crf_gain": _parse_tuple_array(grab("float3[] crfGain"), 3),
+    }
+
+
+def bake_ppisp_into_sh(sh: np.ndarray, ppisp_params: Dict,
+                       camera_idx: int = 0,
+                       frame_idx: int = 0) -> np.ndarray:
+    """Fold the LINEAR part of a camera's ISP into SH coefficients.
+
+    Radiance is linear in the SH coefficients, so exposure and the 3x3
+    color matrix commute with SH evaluation and can be baked for export
+    (viewers then replay the capture look without the ISP). The color
+    bias shifts only the DC term (scaled by 1/SH_C0). Vignetting and the
+    CRF are spatially-varying / nonlinear and cannot be represented in
+    SH; they are intentionally left out (same restriction as the
+    reference's export-time bake).
+    """
+    sh = np.asarray(sh, np.float32)            # [N, K, 3]
+    exposure = 2.0 ** float(np.asarray(ppisp_params["exposure"])[frame_idx])
+    cm = np.asarray(ppisp_params["color_matrix"])[camera_idx]  # [3,3]
+    bias = np.asarray(ppisp_params["color_bias"])[camera_idx]  # [3]
+    out = np.einsum("ij,nkj->nki", cm, sh * exposure)
+    # radiance convention is SH_lin + 0.5 (ops/sh.py): the offset passes
+    # through the ISP too, so the DC term absorbs cm@(exp*0.5) + bias - 0.5
+    const = cm @ np.full(3, 0.5 * exposure, np.float32) + bias - 0.5
+    out[:, 0, :] += const / 0.28209479177387814  # SH_C0
+    return out
+
+
 def export_model_usda(state, path: str, cameras=None, **kw):
     """Export a GaussianState's live particles (post-activation)."""
     n = int(state.n_active)

@@ -48,6 +48,131 @@ def load_obj(path: str, material_id: int = 0) -> Mesh:
                 faces=np.asarray(faces, np.int32), material_id=material_id)
 
 
+_GLTF_DTYPE = {5120: np.int8, 5121: np.uint8, 5122: np.int16,
+               5123: np.uint16, 5125: np.uint32, 5126: np.float32}
+_GLTF_NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+def _gltf_accessor(gltf: dict, bin_chunk: bytes, idx: int) -> np.ndarray:
+    acc = gltf["accessors"][idx]
+    view = gltf["bufferViews"][acc["bufferView"]]
+    dtype = _GLTF_DTYPE[acc["componentType"]]
+    ncomp = _GLTF_NCOMP[acc["type"]]
+    offset = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    stride = view.get("byteStride") or ncomp * np.dtype(dtype).itemsize
+    count = acc["count"]
+    raw = np.frombuffer(bin_chunk, np.uint8,
+                        count=count * stride - (stride
+                                                - ncomp
+                                                * np.dtype(dtype).itemsize),
+                        offset=offset)
+    if stride == ncomp * np.dtype(dtype).itemsize:
+        out = raw.view(dtype).reshape(count, ncomp)
+    else:  # interleaved vertex buffer: de-stride per element
+        rows = [raw[i * stride:i * stride
+                    + ncomp * np.dtype(dtype).itemsize].view(dtype)
+                for i in range(count)]
+        out = np.stack(rows)
+    return out
+
+
+def _node_matrix(node: dict) -> np.ndarray:
+    if "matrix" in node:
+        return np.asarray(node["matrix"], np.float32).reshape(4, 4).T
+    m = np.eye(4, dtype=np.float32)
+    if "scale" in node:
+        m[:3, :3] *= np.asarray(node["scale"], np.float32)
+    if "rotation" in node:  # gltf quaternion xyzw
+        x, y, z, w = node["rotation"]
+        r = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+             2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+             2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x),
+             1 - 2 * (x * x + y * y)]], np.float32)
+        m[:3, :3] = r @ m[:3, :3]
+    if "translation" in node:
+        m[:3, 3] = node["translation"]
+    return m
+
+
+def load_glb(path: str, material_id: int = 0) -> List[Mesh]:
+    """Binary glTF (.glb) loader: POSITION + indices, scene-graph transforms.
+
+    Covers the reference playground's pygltflib asset path
+    (threedgrut_playground/utils/mesh_io.py) without the dependency: parses
+    the GLB container (header + JSON/BIN chunks) and flattens the default
+    scene into world-space triangle meshes, one Mesh per primitive.
+    """
+    import json
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, _version, _length = struct.unpack_from("<4sII", data, 0)
+    if magic != b"glTF":
+        raise ValueError(f"{path}: not a GLB file")
+    pos, json_chunk, bin_chunk = 12, None, b""
+    while pos + 8 <= len(data):
+        clen, ctype = struct.unpack_from("<II", data, pos)
+        chunk = data[pos + 8:pos + 8 + clen]
+        if ctype == 0x4E4F534A:      # 'JSON'
+            json_chunk = chunk
+        elif ctype == 0x004E4942:    # 'BIN\0'
+            bin_chunk = chunk
+        pos += 8 + clen + (-clen % 4)
+    if json_chunk is None:
+        raise ValueError(f"{path}: GLB missing JSON chunk")
+    gltf = json.loads(json_chunk)
+
+    meshes: List[Mesh] = []
+
+    def emit(mesh_idx: int, xform: np.ndarray):
+        for prim in gltf["meshes"][mesh_idx].get("primitives", []):
+            if prim.get("mode", 4) != 4:    # triangles only
+                continue
+            attrs = prim.get("attributes", {})
+            if "POSITION" not in attrs:
+                continue
+            verts = _gltf_accessor(gltf, bin_chunk,
+                                   attrs["POSITION"]).astype(np.float32)
+            verts = verts @ xform[:3, :3].T + xform[:3, 3]
+            if "indices" in prim:
+                faces = _gltf_accessor(gltf, bin_chunk, prim["indices"])
+                faces = faces.astype(np.int32).reshape(-1, 3)
+            else:
+                faces = np.arange(len(verts),
+                                  dtype=np.int32).reshape(-1, 3)
+            meshes.append(Mesh(vertices=verts, faces=faces,
+                               material_id=material_id))
+
+    def walk(node_idx: int, parent: np.ndarray):
+        node = gltf["nodes"][node_idx]
+        xform = parent @ _node_matrix(node)
+        if "mesh" in node:
+            emit(node["mesh"], xform)
+        for child in node.get("children", []):
+            walk(child, xform)
+
+    scenes = gltf.get("scenes", [])
+    roots = (scenes[gltf.get("scene", 0)]["nodes"]
+             if scenes else range(len(gltf.get("nodes", []))))
+    for root in roots:
+        walk(root, np.eye(4, dtype=np.float32))
+    if not meshes and "meshes" in gltf:   # no scene graph: flat meshes
+        for i in range(len(gltf["meshes"])):
+            emit(i, np.eye(4, dtype=np.float32))
+    return meshes
+
+
+def load_mesh_file(path: str, material_id: int = 0) -> List[Mesh]:
+    """Dispatch on extension: .obj -> [Mesh], .glb -> meshes per primitive."""
+    if path.lower().endswith((".glb", ".gltf")):
+        return load_glb(path, material_id)
+    return [load_obj(path, material_id)]
+
+
 def make_box(center, size, material_id: int = 0) -> Mesh:
     c = np.asarray(center, np.float32)
     s = np.asarray(size, np.float32) / 2

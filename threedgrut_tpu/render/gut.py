@@ -182,11 +182,11 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
     records = table[idx]
     n_chunks = p_total // CHUNK
     records = records.reshape(n_chunks, CHUNK, rdim).transpose(0, 2, 1)
-    # gradient route: when the per-particle gradient table fits in VMEM
-    # the backward folds d_records on-chip (skips the XLA scatter-add);
-    # larger capacities / wide NHT records use the per-pair path
-    table_grad = (rdim <= 16 and cap % 8 == 0
-                  and cap * 64 <= (8 << 20))
+    # gradient route: the table path folds d_records on-chip via the
+    # Pallas scatter kernel, but its sequential per-pair loop measured
+    # SLOWER than XLA's scatter-add on v5e (5.6 vs 8.6 it/s end to end),
+    # so the classic per-pair gather/scatter backward stays the default.
+    table_grad = False
 
     # rays (padded to the tile grid; padding rays get empty t-ranges)
     if rays is None:
