@@ -99,3 +99,44 @@ class TestTimers:
             pass
         assert "on" in results
         timing_options.active = False
+
+
+class TestSSIM:
+    def test_matches_naive_windowed(self):
+        from threedgrut_tpu.ops.ssim import _gaussian_window, ssim
+
+        rng = np.random.default_rng(3)
+        a = rng.uniform(0, 1, (1, 3, 24, 20)).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+
+        g = np.asarray(_gaussian_window(11), np.float64)
+        win = np.outer(g, g)
+
+        def blur(x):  # [C,H,W] valid
+            c, h, w = x.shape
+            out = np.zeros((c, h - 10, w - 10))
+            for i in range(h - 10):
+                for j in range(w - 10):
+                    out[:, i, j] = np.sum(
+                        x[:, i:i + 11, j:j + 11] * win[None], axis=(1, 2))
+            return out
+
+        x, y = a[0].astype(np.float64), b[0].astype(np.float64)
+        mu1, mu2 = blur(x), blur(y)
+        s1 = blur(x * x) - mu1 ** 2
+        s2 = blur(y * y) - mu2 ** 2
+        s12 = blur(x * y) - mu1 * mu2
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        ref = np.mean(((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
+                      / ((mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2)))
+
+        got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_identical_is_one_and_differentiable(self):
+        rng = np.random.default_rng(4)
+        a = jnp.asarray(rng.uniform(0, 1, (1, 3, 32, 32)).astype(np.float32))
+        from threedgrut_tpu.ops.ssim import ssim
+        np.testing.assert_allclose(float(ssim(a, a)), 1.0, atol=1e-6)
+        g = jax.grad(lambda x: ssim(x, a * 0.5))(a)
+        assert np.isfinite(np.asarray(g)).all()

@@ -46,14 +46,20 @@ def _blur(img, size: int):
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
     """Mean SSIM over the valid region. Inputs: [B, C, H, W] in [0,1]."""
-    mu1 = _blur(img1, window_size)
-    mu2 = _blur(img2, window_size)
+    c = img1.shape[1]
+    # one batched depthwise conv over all five moment maps (5x fewer conv
+    # dispatches than blurring each map separately)
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=1)
+    blurred = _blur(stacked, window_size)
+    mu1, mu2, m11, m22, m12 = (blurred[:, i * c:(i + 1) * c]
+                               for i in range(5))
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu12 = mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, window_size) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, window_size) - mu2_sq
-    sigma12 = _blur(img1 * img2, window_size) - mu12
+    sigma1_sq = m11 - mu1_sq
+    sigma2_sq = m22 - mu2_sq
+    sigma12 = m12 - mu12
     num = (2.0 * mu12 + C1) * (2.0 * sigma12 + C2)
     den = (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
     return jnp.mean(num / den)
