@@ -95,3 +95,58 @@ class TestGRT:
         out = trace(model, ro, rd, sh_degree=0, interpret=True)
         assert out["pred_features"].shape == (7, 3)
         assert float(out["pred_opacity"].max()) > 0.1
+
+
+class TestTraceGradients:
+    def test_gradients_accumulate_across_blocks(self):
+        """512 rays = 2 programs sharing one segment: the full-batch grad
+        must equal the sum of per-block grads (exercises the
+        shared_segments read-modify-write backward)."""
+        _, model = make_test_scene(n=48, seed=5)
+        rng = np.random.default_rng(0)
+        ro = jnp.zeros((512, 3))
+        d = rng.normal(size=(512, 3)) * 0.12 + np.array([0, 0, 1.0])
+        rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True),
+                         jnp.float32)
+
+        def loss(density, rays_o, rays_d):
+            m = model.replace(params=model.params.replace(density=density))
+            out = trace(m, rays_o, rays_d, sh_degree=0, interpret=True)
+            return jnp.sum(out["pred_features"]) + jnp.sum(
+                out["pred_opacity"])
+
+        g_full = jax.grad(loss)(model.params.density, ro, rd)
+        g_a = jax.grad(loss)(model.params.density, ro[:256], rd[:256])
+        g_b = jax.grad(loss)(model.params.density, ro[256:], rd[256:])
+        assert float(jnp.abs(g_full).max()) > 0
+        np.testing.assert_allclose(np.asarray(g_full),
+                                   np.asarray(g_a + g_b),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_gradient_matches_finite_difference(self):
+        _, model = make_test_scene(n=24, seed=6)
+        ro = jnp.zeros((32, 3))
+        rng = np.random.default_rng(1)
+        d = rng.normal(size=(32, 3)) * 0.1 + np.array([0, 0, 1.0])
+        rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True),
+                         jnp.float32)
+
+        def loss(density):
+            m = model.replace(params=model.params.replace(density=density))
+            out = trace(m, ro, rd, sh_degree=0, interpret=True)
+            return jnp.sum(out["pred_features"])
+
+        g = np.asarray(jax.grad(loss)(model.params.density))
+        # check the 3 largest-gradient entries by central differences
+        flat = np.abs(g).ravel()
+        eps = 1e-3
+        for j in np.argsort(flat)[-3:]:
+            d0 = np.asarray(model.params.density).copy().ravel()
+            dp, dm = d0.copy(), d0.copy()
+            dp[j] += eps
+            dm[j] -= eps
+            fp = float(loss(jnp.asarray(dp.reshape(g.shape))))
+            fm = float(loss(jnp.asarray(dm.reshape(g.shape))))
+            fd = (fp - fm) / (2 * eps)
+            np.testing.assert_allclose(g.ravel()[j], fd, rtol=5e-3,
+                                       atol=1e-5)

@@ -90,6 +90,11 @@ class RasterKernelConfig(NamedTuple):
     # (the TPU analogue of the reference's k=16 hit buffer,
     # gutKBufferRenderer.cuh:62-112, with a full-chunk=128 window)
     sorted_compositing: bool = False
+    # trace(): every tile scans the SAME full segment, so backward
+    # gradients must accumulate across all programs (read-modify-write on
+    # every chunk after the first program) instead of the disjoint-segment
+    # set-with-boundary-RMW scheme
+    shared_segments: bool = False
 
     # --- derived layout ---
     @property
@@ -656,8 +661,17 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
                         (end + CHUNK - 1) // CHUNK - first, 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     # the first chunk may be shared with the previous tile's range: its
-    # gradients must accumulate (sequential grid -> race-free)
-    shared_first = jax.lax.rem(start, CHUNK) != 0
+    # gradients must accumulate (sequential grid -> race-free). In
+    # shared_segments mode every program after the first accumulates every
+    # chunk.
+    if cfg.shared_segments:
+        def accumulate(i):
+            return t > 0
+    else:
+        shared_first = jax.lax.rem(start, CHUNK) != 0
+
+        def accumulate(i):
+            return shared_first & (i == 0)
     f = cfg.feat_dim
 
     ray_o = rays_ref[0, :, 0:3]
@@ -699,10 +713,10 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
 
         get_dma(slot, i).wait()
 
-        # read-modify-write setup for a shared first chunk
-        @pl.when(shared_first & (i == 0))
+        # read-modify-write setup for an accumulated chunk
+        @pl.when(accumulate(i))
         def _():
-            pltpu.make_async_copy(grads_hbm.at[first], rmw_buf,
+            pltpu.make_async_copy(grads_hbm.at[first + i], rmw_buf,
                                   rmw_sem).start()
 
         rec = chunk_buf[slot]
@@ -713,13 +727,13 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
             feat_total, depth_total, t_final, g_feat, g_t, g_depth,
             lane_mask, cfg)
 
-        @pl.when(shared_first & (i == 0))
+        @pl.when(accumulate(i))
         def _():
-            pltpu.make_async_copy(grads_hbm.at[first], rmw_buf,
+            pltpu.make_async_copy(grads_hbm.at[first + i], rmw_buf,
                                   rmw_sem).wait()
 
-        grad_buf[:, :] = jnp.where(
-            shared_first & (i == 0), d_rec + rmw_buf[:, :], d_rec)
+        grad_buf[:, :] = jnp.where(accumulate(i), d_rec + rmw_buf[:, :],
+                                   d_rec)
         out_dma = pltpu.make_async_copy(grad_buf, grads_hbm.at[first + i],
                                         out_sem)
         out_dma.start()
@@ -740,8 +754,13 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
     def _():
         get_dma(jax.lax.rem(i_end, 2), i_end).wait()
 
-    # zero-fill gradient rows of the skipped (all-dead) chunks
-    @pl.when(i_end < nchunks)
+    # zero-fill gradient rows of the skipped (all-dead) chunks; in
+    # shared_segments mode only the first program initializes (later
+    # programs' skipped chunks keep the accumulated values: their own
+    # contribution is exactly zero)
+    zero_ok = (t == 0) if cfg.shared_segments else (t >= 0)
+
+    @pl.when((i_end < nchunks) & zero_ok)
     def _():
         grad_buf[:, :] = jnp.zeros_like(grad_buf)
 
@@ -833,8 +852,9 @@ def rasterize_tiles(records: jnp.ndarray, tile_start: jnp.ndarray,
         records: [C, cfg.record_dim, CHUNK] chunked pair records.
         tile_start: [T] int32 CHUNK-aligned segment starts (pair units).
         tile_count: [T] int32 CHUNK-aligned segment lengths. Segments must
-            be disjoint for the backward pass to be race-free (the trace()
-            API shares one segment across tiles and is forward-only).
+            be disjoint for the backward pass unless cfg.shared_segments
+            is set (the trace() API: one segment shared by all tiles,
+            backward accumulates across programs).
         rays: [T, 256, 8].
         cfg: static RasterKernelConfig.
     Returns:

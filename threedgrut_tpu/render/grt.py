@@ -13,7 +13,8 @@ this module preserves the *semantics* with TPU-native machinery:
   the reference's 16-deep hit buffer),
 - arbitrary rays (``trace``, playground secondary rays): rays are packed
   into 256-ray blocks that brute-force march the full depth-sorted
-  particle list in chunks (no spatial binning yet); forward-only.
+  particle list in chunks (no spatial binning yet); differentiable via
+  the kernel's shared-segment backward.
 
 Config deltas vs 3DGUT (configs/render/3dgrt.yaml): kernel degree 4,
 min_transmittance 1e-3.
@@ -65,7 +66,8 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     Brute force: every 256-ray block marches ALL active particles in
     global depth order (sorted per chunk for correct per-ray ordering).
-    Forward-only (wrap in stop_gradient for training losses).
+    Differentiable w.r.t. model parameters (the kernel's shared_segments
+    backward; reference parity: threedgrut/model/model.py trace autograd).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -117,7 +119,10 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         max_alpha=raster_cfg.max_alpha,
         min_transmittance=raster_cfg.min_transmittance,
         shared_origin=False, feature_mode="constant", feat_dim=3,
-        sorted_compositing=True)
+        sorted_compositing=True,
+        # every ray block scans the same full particle segment, so the
+        # backward accumulates gradients across programs
+        shared_segments=True)
 
     quats = quat_normalize(model.params.rotation)
     # per-particle SH radiance from the mean-origin direction (matching
@@ -140,9 +145,9 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     ], axis=1)
     records = records.reshape(n_chunk_rows // CHUNK, CHUNK,
                               rdim).transpose(0, 2, 1)
-    records = jax.lax.stop_gradient(records)
 
-    # every block scans the full list: shared segment -> forward-only
+    # every block scans the full list (shared segment; the kernel's
+    # shared_segments backward accumulates across blocks)
     tile_start = jnp.zeros(n_blocks, jnp.int32)
     tile_count = jnp.full(n_blocks, n_chunk_rows, jnp.int32)
     out = rasterize_tiles(records, tile_start, tile_count, rays_packed,
