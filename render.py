@@ -43,6 +43,7 @@ def main():
     split = "test" if conf.dataset.type == "nerf" else "test"
     dataset = make_dataset(conf, split)
 
+    trainer = None
     if args.checkpoint.endswith(".ply"):
         from threedgrut_tpu.export.ply import import_model
         model = import_model(args.checkpoint)
@@ -64,6 +65,12 @@ def main():
         bg = bg_mod.background_color(tconf.background, train=False)
         pred = bg_mod.apply_background(out["pred_features"],
                                        out["pred_opacity"], bg)
+        # same post-processing as training/validation (trainer.validate)
+        if trainer is not None and trainer.ppisp_params is not None:
+            pred = trainer._apply_ppisp_eval(pred, cam)
+        elif tconf.post_processing == "linear-to-srgb":
+            from threedgrut_tpu.utils.misc import linear_to_srgb
+            pred = linear_to_srgb(jnp.clip(pred, 0.0, 1.0))
         pred = jnp.clip(pred, 0.0, 1.0)
         gt = jnp.asarray(batch.rgb_gt)
         from threedgrut_tpu.utils.color_correct import color_correct_affine

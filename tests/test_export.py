@@ -63,6 +63,28 @@ class TestUSDA:
         with pytest.raises(NotImplementedError):
             usd_mod.export_usda(str(tmp_path / "a.usdz"), _rand_attrs(), 2)
 
+    def test_usdz_roundtrip(self, tmp_path):
+        import struct
+        import zipfile
+
+        attrs = _rand_attrs()
+        path = str(tmp_path / "pkg.usdz")
+        usd_mod.export_usdz(path, attrs, sh_degree=2)
+        # container invariants: valid zip, stored (uncompressed), 64-byte
+        # aligned payload
+        with zipfile.ZipFile(path) as z:
+            info = z.infolist()[0]
+            assert info.compress_type == zipfile.ZIP_STORED
+        with open(path, "rb") as f:
+            head = f.read(30)
+        name_len, extra_len = struct.unpack("<HH", head[26:30])
+        assert (30 + name_len + extra_len) % 64 == 0
+        back = usd_mod.import_usdz(path)
+        np.testing.assert_allclose(back["positions"], attrs["positions"],
+                                   atol=1e-4)
+        np.testing.assert_allclose(back["sh_coefficients"],
+                                   attrs["sh_coefficients"], atol=1e-4)
+
 
 class TestPPISPUSD:
     def _params(self, n_cams=2, n_frames=4, seed=0):

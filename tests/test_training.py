@@ -55,6 +55,9 @@ class SyntheticDataset:
     def get_scene_extent(self):
         return 3.0
 
+    def get_poses(self):
+        return np.stack([b.T_to_world for b in self.batches])
+
     def get_observer_points(self):
         return np.zeros((len(self.batches), 3), np.float32)
 
@@ -117,3 +120,35 @@ class TestTraining:
         # via trainer key stream; background is black so key is unused)
         np.testing.assert_allclose(loss_2["total"], loss_ref["total"],
                                    rtol=1e-4)
+
+
+class TestPPISP:
+    def test_ppisp_trains_and_distills(self, tmp_path):
+        tr = make_trainer("gs", post_processing="ppisp",
+                          ppisp_n_distillation_steps=50)
+        assert tr.ppisp_params is not None
+        exp0 = np.asarray(tr.ppisp_params["exposure"]).copy()
+        for step in range(8):
+            m = tr.train_iteration(tr.dataset[step % len(tr.dataset)],
+                                   frame_idx=step % len(tr.dataset))
+            assert np.isfinite(m["total"])
+        # per-frame exposure received gradient updates
+        exp1 = np.asarray(tr.ppisp_params["exposure"])
+        assert np.abs(exp1 - exp0).max() > 0
+
+        # checkpoint roundtrip includes the ISP group
+        path = str(tmp_path / "ckpt.npz")
+        tr.save_checkpoint(path)
+        tr2 = make_trainer("gs", post_processing="ppisp")
+        tr2.load_checkpoint(path)
+        np.testing.assert_allclose(
+            np.asarray(tr2.ppisp_params["exposure"]), exp1, atol=1e-7)
+
+        # controller distillation converges toward the frame parameters
+        loss = tr.distill_ppisp_controller(steps=200)
+        assert loss is not None and np.isfinite(loss)
+        assert tr.ppisp_controller is not None
+
+        # validation applies the controller path without error
+        res = tr.validate()
+        assert np.isfinite(res["psnr"])

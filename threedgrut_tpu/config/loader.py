@@ -328,4 +328,9 @@ def to_trainer_config(conf: ConfigNode):
         increase_step=prog.get("increase_step", 1),
         val_frequency=conf.get("val_frequency", 5000),
         seed=conf.get("seed_initialization", 42),
-        print_stats=conf.get("model", {}).get("print_stats", False))
+        print_stats=conf.get("model", {}).get("print_stats", False),
+        post_processing=conf.get("post_processing", {}).get("method"),
+        ppisp_use_controller=conf.get("post_processing", {}).get(
+            "use_controller", True),
+        ppisp_n_distillation_steps=conf.get("post_processing", {}).get(
+            "n_distillation_steps", 5000))

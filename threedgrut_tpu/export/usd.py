@@ -143,6 +143,77 @@ def import_usda(path: str) -> dict:
                 sh_degree=deg)
 
 
+def export_usdz(path: str, attrs: Dict[str, np.ndarray], sh_degree: int,
+                **kw):
+    """Package the usda stage as a .usdz archive.
+
+    USDZ is an UNCOMPRESSED zip whose first entry is the default layer
+    with file data 64-byte aligned (the reference ships NuRec .usdz via
+    pxr's UsdZipFileWriter; pxr is unavailable here, so this writes the
+    container directly - any USD runtime can open it since .usda is a
+    first-class layer format)."""
+    import io as _io
+    import struct
+    import tempfile
+    import zipfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".usda",
+                                     delete=False) as tmp:
+        tmp_path = tmp.name
+    try:
+        export_usda(tmp_path, attrs, sh_degree, **kw)
+        with open(tmp_path) as f:
+            payload = f.read().encode()
+    finally:
+        os.unlink(tmp_path)
+
+    name = "model.usda"
+    # local header: 30 bytes + name + extra; pad extra so data starts at a
+    # 64-byte boundary (usdz alignment rule)
+    base = 30 + len(name)
+    pad = (-base) % 64
+    extra = b"\x00" * pad
+    buf = _io.BytesIO()
+    crc = zipfile.crc32(payload) & 0xFFFFFFFF
+    buf.write(struct.pack("<IHHHHHIIIHH", 0x04034B50, 20, 0, 0, 0, 0,
+                          crc, len(payload), len(payload), len(name),
+                          len(extra)))
+    buf.write(name.encode())
+    buf.write(extra)
+    data_off = buf.tell()
+    assert data_off % 64 == 0
+    buf.write(payload)
+    cd_off = buf.tell()
+    buf.write(struct.pack("<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, 0,
+                          0, 0, crc, len(payload), len(payload),
+                          len(name), 0, 0, 0, 0, 0, 0))
+    buf.write(name.encode())
+    cd_len = buf.tell() - cd_off
+    buf.write(struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, 1, 1, cd_len,
+                          cd_off, 0))
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def import_usdz(path: str) -> dict:
+    """Read a usdz archive written by export_usdz (or any usdz whose
+    default layer is usda)."""
+    import tempfile
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        layer = z.namelist()[0]
+        data = z.read(layer).decode()
+    with tempfile.NamedTemporaryFile("w", suffix=".usda",
+                                     delete=False) as tmp:
+        tmp.write(data)
+        tmp_path = tmp.name
+    try:
+        return import_usda(tmp_path)
+    finally:
+        os.unlink(tmp_path)
+
+
 def export_ppisp_usda(path: str, ppisp_params: Dict,
                       append: bool = False):
     """Author PPISP parameters as a USD render-settings scope.

@@ -27,21 +27,25 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5):
     return tuple(g.astype(np.float32))
 
 
+@functools.lru_cache(maxsize=None)
+def _band_matrix(n: int, size: int, sigma: float = 1.5):
+    """[n, n-size+1] banded Gaussian operator: (x^T B)[j] = sum_k g_k
+    x[j+k]. Dense on purpose: an 800x790 matmul rides the MXU and beats
+    TPU depthwise convs by ~5x for the 11-tap SSIM window."""
+    g = _gaussian_window(size, sigma)
+    m = np.zeros((n, n - size + 1), np.float32)
+    for k in range(size):
+        m[np.arange(n - size + 1) + k, np.arange(n - size + 1)] += g[k]
+    return m
+
+
 def _blur(img, size: int):
     """Separable valid-padding Gaussian blur. img: [B, C, H, W]."""
-    g = jnp.asarray(_gaussian_window(size), jnp.float32)
-    c = img.shape[1]
-    kh = jnp.broadcast_to(g.reshape(1, 1, size, 1), (c, 1, size, 1))
-    kw = jnp.broadcast_to(g.reshape(1, 1, 1, size), (c, 1, 1, size))
-    dn = jax.lax.conv_dimension_numbers(img.shape, kh.shape,
-                                        ("NCHW", "OIHW", "NCHW"))
-    out = jax.lax.conv_general_dilated(img, kh, (1, 1), "VALID",
-                                       dimension_numbers=dn,
-                                       feature_group_count=c)
-    out = jax.lax.conv_general_dilated(out, kw, (1, 1), "VALID",
-                                       dimension_numbers=dn,
-                                       feature_group_count=c)
-    return out
+    h, w = img.shape[-2:]
+    bh = jnp.asarray(_band_matrix(h, size))          # [H, H']
+    bw = jnp.asarray(_band_matrix(w, size))          # [W, W']
+    out = jnp.einsum("bchw,hk->bckw", img, bh, precision="highest")
+    return jnp.einsum("bckw,wl->bckl", out, bw, precision="highest")
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):

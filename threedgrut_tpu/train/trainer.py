@@ -102,6 +102,12 @@ class TrainerConfig:
     val_frequency: int = 5000
     seed: int = 42
     print_stats: bool = False
+    # learned post-processing (models/post_processing.py):
+    # None | "linear-to-srgb" | "ppisp"
+    post_processing: Optional[str] = None
+    ppisp_lr: float = 1e-3
+    ppisp_use_controller: bool = True
+    ppisp_n_distillation_steps: int = 5000
 
 
 def camera_from_batch(batch, ut_cfg: UTConfig) -> Any:
@@ -183,6 +189,16 @@ class Trainer:
             self.decoder = FeatureDecoder(ray_feature_dim=interp_dim * 2,
                                           seed=conf.seed)
 
+        # learned ISP (reference: external ppisp package; trainer hooks
+        # threedgrut/trainer.py:462-526): per-frame/per-camera parameters
+        # trained jointly, controller distilled afterwards for novel views
+        self.ppisp_params = None
+        self.ppisp_controller = None
+        if conf.post_processing == "ppisp":
+            from ..models.post_processing import init_ppisp_params
+            self.ppisp_params = init_ppisp_params(
+                n_cameras=1, n_frames=len(dataset))
+
         self.opt_state = adam_mod.init_adam_state(self._params_dict())
         if conf.strategy == "gs":
             self.gs_buffers = gs_strategy.init_buffers(model.capacity)
@@ -214,12 +230,18 @@ class Trainer:
             d["features"] = p.features
         if self.decoder is not None:
             d["nht_decoder"] = self.decoder.params
+        if self.ppisp_params is not None:
+            d["ppisp"] = self.ppisp_params
         return d
 
     def _set_params_dict(self, d: dict):
         d = dict(d)
-        if self.decoder is not None and "nht_decoder" in d:
-            self.decoder.params = d.pop("nht_decoder")
+        dec = d.pop("nht_decoder", None)
+        if self.decoder is not None and dec is not None:
+            self.decoder.params = dec
+        isp = d.pop("ppisp", None)
+        if self.ppisp_params is not None and isp is not None:
+            self.ppisp_params = isp
         self.model = self.model.replace(
             params=self.model.params.replace(**d))
 
@@ -241,11 +263,13 @@ class Trainer:
             lrs["nht_decoder"] = adam_mod.cosine_scheduler(
                 0.00068, 0.00068 * 0.1, oc.features_max_steps)(
                 self.global_step)
+        if self.ppisp_params is not None:
+            lrs["ppisp"] = self.conf.ppisp_lr
         # color-refine phase: freeze gaussians, train only the decoder
         # (trainer.py:1126-1130 / nht_decoder.color_refine_steps)
         if self._in_color_refine():
             for k in list(lrs):
-                if k != "nht_decoder":
+                if k not in ("nht_decoder", "ppisp"):
                     lrs[k] = 0.0
         return lrs
 
@@ -269,10 +293,13 @@ class Trainer:
         base_model = self.model
         selective = conf.optimizer.type == "selective_adam"
 
+        use_ppisp = conf.post_processing == "ppisp"
+
         @jax.jit
-        def step_fn(params_d, opt_state, lrs, rgb_gt, n_active, key, cam):
+        def step_fn(params_d, opt_state, lrs, rgb_gt, n_active, key, cam,
+                    frame_idx):
             gauss_d = {k: v for k, v in params_d.items()
-                       if k != "nht_decoder"}
+                       if k not in ("nht_decoder", "ppisp")}
             model = base_model.replace(
                 params=base_model.params.replace(**gauss_d),
                 n_active=n_active)
@@ -282,6 +309,7 @@ class Trainer:
             def loss_fn(pd):
                 pd = dict(pd)
                 dec_params = pd.pop("nht_decoder", None)
+                isp_params = pd.pop("ppisp", None)
                 m = model.replace(params=model.params.replace(**pd))
                 out = render_gut(cam, conf.ut, conf.raster, m, sh_degree)
                 pred = out["pred_features"]
@@ -295,6 +323,14 @@ class Trainer:
                 bg = bg_mod.background_color(conf.background, key, train=True)
                 pred = bg_mod.apply_background(pred,
                                                out["pred_opacity"], bg)
+                if use_ppisp:
+                    # model the capture-time ISP on the prediction so the
+                    # radiance field stays linear (trainer.py:462-526)
+                    from ..models.post_processing import apply_ppisp
+                    pred = apply_ppisp(isp_params, pred, 0, frame_idx)
+                elif conf.post_processing == "linear-to-srgb":
+                    from ..utils.misc import linear_to_srgb
+                    pred = linear_to_srgb(jnp.clip(pred, 0.0, 1.0))
                 losses = {}
                 total = 0.0
                 if conf.loss.use_l1:
@@ -341,7 +377,7 @@ class Trainer:
 
         return step_fn
 
-    def train_iteration(self, batch) -> Dict[str, float]:
+    def train_iteration(self, batch, frame_idx: int = 0) -> Dict[str, float]:
         cam = camera_from_batch(batch, self.conf.ut)
         sh_degree = min(self.n_active_features, self.conf.max_n_features)
         cache_key = (cam.resolution, cam.model_type, cam.shutter_type,
@@ -357,7 +393,8 @@ class Trainer:
         rgb_gt = jnp.asarray(batch.rgb_gt)
         new_params, new_opt, grads, metrics = step_fn(
             self._params_dict(), self.opt_state, lrs, rgb_gt,
-            self.model.n_active, k, cam)
+            self.model.n_active, k, cam,
+            jnp.asarray(frame_idx, jnp.int32))
         self._last_cam = cam
         self._set_params_dict(new_params)
         self.opt_state = new_opt
@@ -475,6 +512,78 @@ class Trainer:
                 conf.max_n_features,
                 self.n_active_features + conf.increase_step)
 
+    # --- PPISP controller distillation ----------------------------------
+
+    def distill_ppisp_controller(self, steps: Optional[int] = None):
+        """Post-training phase: distill the learned per-frame ISP into a
+        view-conditioned controller MLP so novel (validation) views get
+        predicted corrections (reference trainer.py:1126-1130 /
+        n_distillation_steps)."""
+        if self.ppisp_params is None or not self.conf.ppisp_use_controller:
+            return None
+        from ..models.post_processing import PPISPController
+        steps = steps or self.conf.ppisp_n_distillation_steps
+
+        # per-frame inputs: camera one-hot (single camera) + world-space
+        # view direction of the frame
+        poses = np.asarray(self.dataset.get_poses())      # [F, 4, 4] c2w
+        dirs = poses[:, :3, 2]
+        dirs = dirs / np.maximum(
+            np.linalg.norm(dirs, axis=1, keepdims=True), 1e-12)
+        f = dirs.shape[0]
+        x = jnp.concatenate([jnp.ones((f, 1), jnp.float32),
+                             jnp.asarray(dirs, jnp.float32)], axis=1)
+        p = self.ppisp_params
+        targets = jnp.concatenate([
+            jnp.asarray(p["exposure"])[:f, None],
+            jnp.broadcast_to(jnp.asarray(p["vignette"])[0], (f, 3)),
+            jnp.broadcast_to(jnp.asarray(p["color_bias"])[0], (f, 3)),
+        ], axis=1)                                        # [F, 7]
+
+        ctrl = PPISPController(n_cameras=1, seed=self.conf.seed)
+        import optax
+        tx = optax.adam(1e-3)
+        opt = tx.init(ctrl.params)
+
+        @jax.jit
+        def update(params, opt):
+            def loss(pr):
+                pred = ctrl.module.apply(pr, x)
+                return jnp.mean((pred - targets) ** 2)
+            l, g = jax.value_and_grad(loss)(params)
+            updates, opt = tx.update(g, opt)
+            return optax.apply_updates(params, updates), opt, l
+
+        loss = None
+        for _ in range(steps):
+            ctrl.params, opt, loss = update(ctrl.params, opt)
+        self.ppisp_controller = ctrl
+        return float(loss) if loss is not None else None
+
+    def _apply_ppisp_eval(self, pred, cam):
+        """Validation-time ISP: controller-predicted per-view corrections
+        (if distilled) on top of the trained per-camera transform."""
+        from ..models.post_processing import apply_ppisp
+        p = {k: jnp.asarray(v) for k, v in self.ppisp_params.items()}
+        if self.ppisp_controller is not None:
+            # camera forward axis in world: cam.q_start encodes R_wc, so
+            # +z_cam in world = R_wc^T e_z = third row of R_wc
+            from ..ops.quaternion import quat_to_rotmat
+            fwd = np.asarray(quat_to_rotmat(cam.q_start[None]))[0][2, :]
+            fwd = fwd / max(np.linalg.norm(fwd), 1e-12)
+            x = jnp.concatenate([jnp.ones((1,), jnp.float32),
+                                 jnp.asarray(fwd, jnp.float32)])
+            out = self.ppisp_controller.module.apply(
+                self.ppisp_controller.params, x[None])[0]
+            p = dict(p)
+            p["exposure"] = out[0:1]
+            p["vignette"] = out[1:4][None]
+            p["color_bias"] = out[4:7][None]
+        else:
+            p = dict(p)
+            p["exposure"] = jnp.zeros((1,), jnp.float32)  # neutral
+        return apply_ppisp(p, pred, 0, 0)
+
     # ------------------------------------------------------------------
 
     def run_training(self, max_steps: Optional[int] = None,
@@ -489,7 +598,7 @@ class Trainer:
                         len(self.dataset)))
             idx = order.pop()
             batch = self.dataset[idx]
-            metrics = self.train_iteration(batch)
+            metrics = self.train_iteration(batch, frame_idx=idx)
             if log_every and self.global_step % log_every == 0:
                 dt = time.time() - t0
                 print(f"step {self.global_step}: "
@@ -518,6 +627,11 @@ class Trainer:
                                     use_ema=True).reshape(hh, ww, 3)
             bg = bg_mod.background_color(self.conf.background, train=False)
             pred = bg_mod.apply_background(pred, out["pred_opacity"], bg)
+            if self.ppisp_params is not None:
+                pred = self._apply_ppisp_eval(pred, cam)
+            elif self.conf.post_processing == "linear-to-srgb":
+                from ..utils.misc import linear_to_srgb
+                pred = linear_to_srgb(jnp.clip(pred, 0.0, 1.0))
             pred = jnp.clip(pred, 0.0, 1.0)
             gt = jnp.asarray(batch.rgb_gt)
             psnrs.append(float(psnr(pred, gt)))
@@ -568,15 +682,46 @@ class Trainer:
 
     # --- checkpointing --------------------------------------------------
 
+    @staticmethod
+    def _flatten_group(flat: dict, prefix: str, v):
+        """Array groups go in directly; nested pytrees (NHT decoder flax
+        dicts, ppisp param dicts) flatten with '/'-joined key paths."""
+        if hasattr(v, "shape"):
+            flat[prefix] = np.asarray(v)
+            return
+        for path, leaf in jax.tree_util.tree_flatten_with_path(v)[0]:
+            ks = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                          for p in path)
+            flat[f"{prefix}//{ks}"] = np.asarray(leaf)
+
+    @staticmethod
+    def _unflatten_groups(data, section: str):
+        """Inverse of _flatten_group over an npz: returns {name: value}."""
+        out = {}
+        for k in data.files:
+            if not k.startswith(section + "/"):
+                continue
+            rest = k[len(section) + 1:]
+            if "//" in rest:
+                name, keypath = rest.split("//", 1)
+                d = out.setdefault(name, {})
+                parts = keypath.split("/")
+                for p in parts[:-1]:
+                    d = d.setdefault(p, {})
+                d[parts[-1]] = jnp.asarray(data[k])
+            elif "/" not in rest:
+                out[rest] = jnp.asarray(data[k])
+        return out
+
     def save_checkpoint(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         flat = {}
         for name, v in self._params_dict().items():
-            flat[f"params/{name}"] = np.asarray(v)
+            self._flatten_group(flat, f"params/{name}", v)
         for name, v in self.opt_state.exp_avg.items():
-            flat[f"opt/m/{name}"] = np.asarray(v)
+            self._flatten_group(flat, f"opt/m/{name}", v)
         for name, v in self.opt_state.exp_avg_sq.items():
-            flat[f"opt/v/{name}"] = np.asarray(v)
+            self._flatten_group(flat, f"opt/v/{name}", v)
         flat["opt/step"] = np.asarray(self.opt_state.step)
         flat["n_active"] = np.asarray(self.model.n_active)
         flat["global_step"] = np.asarray(self.global_step)
@@ -588,15 +733,12 @@ class Trainer:
 
     def load_checkpoint(self, path: str):
         data = np.load(path)
-        params = {k.split("/", 1)[1]: jnp.asarray(v) for k, v in data.items()
-                  if k.startswith("params/")}
+        params = self._unflatten_groups(data, "params")
         self._set_params_dict(params)
         self.model = self.model.replace(
             n_active=jnp.asarray(data["n_active"]))
-        m = {k.split("/", 2)[2]: jnp.asarray(v) for k, v in data.items()
-             if k.startswith("opt/m/")}
-        v = {k.split("/", 2)[2]: jnp.asarray(va) for k, va in data.items()
-             if k.startswith("opt/v/")}
+        m = self._unflatten_groups(data, "opt/m")
+        v = self._unflatten_groups(data, "opt/v")
         self.opt_state = adam_mod.AdamState(
             step=jnp.asarray(data["opt/step"]), exp_avg=m, exp_avg_sq=v)
         self.global_step = int(data["global_step"])

@@ -122,6 +122,10 @@ def main():
                 print("val:", trainer.validate())
     except KeyboardInterrupt:
         print("interrupted; saving last checkpoint")
+    if trainer.ppisp_params is not None and tconf.ppisp_use_controller:
+        print("distilling PPISP controller...")
+        loss = trainer.distill_ppisp_controller()
+        print(f"controller distillation loss: {loss}")
     trainer.save_checkpoint(os.path.join(out_dir, "ckpt_last.npz"))
     if conf.get("export_ply", {}).get("enabled"):
         from threedgrut_tpu.export.ply import export_model
