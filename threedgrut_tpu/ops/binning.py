@@ -13,11 +13,11 @@ with a fixed-capacity, sync-free XLA program:
 4. a stable sort by tile id + chunk-aligned per-tile segments.
 
 TPU-specific design: XLA lowers random gathers/scatters to scalar loops
-(~10 ms per 2M-row gather on v5e), so the expansion avoids per-pair
-gathers entirely. All per-particle values a pair needs are scattered once
-(N rows) to each particle's segment-start slot and then propagated with a
-single segmented forward-fill (a sequential-carry Pallas kernel,
-ops/pallas/fill.py) - one streaming pass instead of ~10 scalar gathers.
+(~10 ms per 2M-row gather, ~14 ms per 100k-row scatter-set on v5e), so
+the expansion avoids per-pair gathers AND scatters: depth-sorted
+particles own contiguous pair-slot intervals, and an interval-mask
+matmul kernel (ops/pallas/expand.py) materializes per-pair values on the
+MXU directly from the per-particle table.
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .pallas.fill import segmented_fill_rows
+from .pallas.expand import BLK, SLAB, expand_decode_pairs
 from .ut import TILE_X, TILE_Y, Projection, tile_min_power_response
 
 
@@ -73,45 +73,52 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
     excl = (offsets - counts_sorted).astype(jnp.int32)
 
     # --- gather-free expansion ------------------------------------------
-    # every per-particle value a pair needs rides one [N, D] row scattered
-    # to the particle's first pair slot, then forward-filled
+    # Each depth-sorted particle owns the contiguous pair-slot interval
+    # [excl, offsets); the expansion kernel turns per-particle rows into
+    # per-pair values with an interval-mask matmul (ops/pallas/expand.py).
+    # One wide row gather beats per-column gathers ~3x on v5e.
     max_power = jnp.log(jnp.maximum(proj.opacity, 1e-30) / alpha_threshold)
-    per_particle = jnp.stack([
-        lo_x[order], lo_y[order], width[order],
-        excl.astype(jnp.float32),
-        order.astype(jnp.float32),
-        proj.conic[order, 0], proj.conic[order, 1], proj.conic[order, 2],
-        proj.center[order, 0], proj.center[order, 1],
-        max_power[order],
-    ], axis=1)                                   # [N, 11]
+    mat = jnp.stack([
+        lo_x, lo_y, width,
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        proj.center[:, 0], proj.center[:, 1], max_power,
+    ], axis=1)[order]                            # [N, 9] depth-sorted
 
-    nonempty = counts_sorted > 0
-    start_slot = jnp.where(nonempty, excl, max_pairs)
-    # binning is structural (non-differentiable) - stop gradients before
-    # the fill kernel (pallas_call has no autodiff rule)
-    vals = segmented_fill_rows(jax.lax.stop_gradient(per_particle),
-                               start_slot, max_pairs, interpret=interpret)
+    mp_f = jnp.float32(max_pairs)
+    slot = jnp.minimum(excl.astype(jnp.float32), mp_f)
+    nxt = jnp.minimum(offsets.astype(jnp.float32), mp_f)
+    n_rows = ((n + BLK - 1) // BLK) * BLK + BLK
+    table = jnp.concatenate([
+        mat[:, 0:3],                              # lanes 0..2
+        excl.astype(jnp.float32)[:, None],        # lane 3
+        order.astype(jnp.float32)[:, None],       # lane 4
+        mat[:, 3:9],                              # lanes 5..10
+        slot[:, None], nxt[:, None],              # lanes 11, 12
+        jnp.zeros((n, 128 - 13), jnp.float32),
+    ], axis=1)
+    table = jnp.pad(table, ((0, n_rows - n), (0, 0)))
+    table = jax.lax.stop_gradient(table)          # binning is structural
 
-    pair_j = jnp.arange(max_pairs, dtype=jnp.int32)
-    in_range = pair_j < jnp.minimum(total, max_pairs)
-    rank = pair_j.astype(jnp.float32) - vals[:, 3]
-    w_src = jnp.maximum(vals[:, 2], 1.0)
-    # decode bbox-local tile coordinates (float math is exact: all values
-    # are small integers < 2^24)
-    ry = jnp.floor(rank / w_src)
-    rx = rank - ry * w_src
-    tx = vals[:, 0] + rx
-    ty = vals[:, 1] + ry
-    pair_particle = vals[:, 4].astype(jnp.int32)
-    pair_tile = jnp.where(in_range,
-                          (ty * gx + tx).astype(jnp.int32), num_tiles)
-
-    if tile_culling:
-        tile_xy = jnp.stack([tx, ty], axis=-1)
-        power = tile_min_power_response(
-            tile_xy, vals[:, 5:8], None, vals[:, 8:10])
-        keep = power < vals[:, 10]
-        pair_tile = jnp.where(in_range & keep, pair_tile, num_tiles)
+    slab = min(SLAB, max_pairs)
+    if max_pairs % slab:
+        raise ValueError(f"max_pairs {max_pairs} must be a multiple of "
+                         f"{slab}")
+    n_slabs = max_pairs // slab
+    bounds = jnp.arange(n_slabs, dtype=jnp.int32)
+    offs_c = jnp.minimum(offsets, max_pairs).astype(jnp.int32)
+    excl_c = jnp.minimum(excl, max_pairs)
+    src_start = jnp.searchsorted(offs_c, bounds * slab, side="right",
+                                 method="scan_unrolled").astype(jnp.int32)
+    src_end = jnp.searchsorted(excl_c, (bounds + 1) * slab, side="left",
+                               method="scan_unrolled").astype(jnp.int32)
+    # fused expand + decode + cull: per-pair (tile, particle) come out of
+    # one kernel pass; the vals table never round-trips HBM
+    pt_f, pp_f = expand_decode_pairs(
+        table, src_start, src_end, jnp.minimum(total, max_pairs),
+        n_slabs, slab, tile_grid, tile_culling, TILE_X, TILE_Y,
+        interpret=interpret)
+    pair_tile = pt_f.astype(jnp.int32)
+    pair_particle = pp_f.astype(jnp.int32)
 
     # stable sort by tile id; depth order within tile is preserved
     pair_tile, pair_particle = jax.lax.sort(

@@ -1,11 +1,14 @@
 """Segmented forward-fill Pallas kernel.
 
-Propagates the most recent "marked" row of values down a long axis -
-the core primitive of the gather-free pair expansion in ops/binning.py
-(XLA's associative_scan implementation of the same thing is both slow to
-compile and does log-passes over HBM; this kernel is one sequential pass
-with an on-chip carry, using the TPU's sequential grid execution to
-thread the carry between slabs).
+Propagates the most recent "marked" row of values down a long axis (one
+sequential pass with an on-chip carry threaded between slabs via the
+TPU's sequential grid execution; XLA's associative_scan equivalent is
+slow to compile and does log-passes over HBM).
+
+NOTE: the binning pair expansion now uses the interval-mask matmul
+kernel (ops/pallas/expand.py) instead - the scatter-set this kernel
+needs to seed segment starts costs ~14 ms for 100k rows into 1M x 12 on
+v5e. Kept as a general-purpose primitive.
 
 Layout: vals [n_slabs, D, S] f32 where row D-1 is the mask row
 (>0.5 at segment starts). Output: same shape, every lane holding the
