@@ -72,7 +72,7 @@ class TestRenderParity:
 
     def test_overflow_counter(self):
         cam, model = make_test_scene(n=96, res=(64, 48))
-        rc_small = RasterConfig(max_pairs=128)
+        rc_small = RasterConfig(max_pairs=256)
         out = render_gut(cam, UT, rc_small, model, sh_degree=0,
                          interpret=True)
         assert int(out["pairs_overflow"]) > 0

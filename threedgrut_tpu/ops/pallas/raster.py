@@ -67,7 +67,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..hit import particle_response
 
 TILE_PIX = 256  # 16 x 16
-CHUNK = 128     # candidates per chunk == lane width
+# Candidates per streamed chunk (lane width of the compute blocks). 256
+# (two 128-lane tiles) halves loop/DMA-wait overhead vs 128 at the same
+# total math - the compositing helpers are all lane-width generic.
+CHUNK = 256
 
 # retained for backwards compatibility with callers sizing SH records
 RECORD_DIM = 16

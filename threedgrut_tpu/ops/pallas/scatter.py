@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 128
+from .raster import CHUNK  # pair-chunk lane width (kept in sync)
+
 PACK = 8          # particles per 128-lane accumulator row
 FIELDS = 16       # record fields per particle (fixed SH layout)
 
