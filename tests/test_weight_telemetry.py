@@ -1,0 +1,111 @@
+"""Max-blend-weight telemetry kernel vs a per-pixel reference, and the
+GS weight-prune path end to end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scene_utils import make_test_scene
+from threedgrut_tpu.ops.hit import density_hit
+from threedgrut_tpu.ops.ut import UTConfig
+from threedgrut_tpu.render.common import RasterConfig, camera_rays_world
+from threedgrut_tpu.render.gut import render_gut
+
+UT = UTConfig()
+
+
+def reference_max_weights(cam, model, raster_cfg):
+    """Brute-force per-pixel compositing with the primitive hit ops:
+    global depth order, kill semantics, max_pixel(alpha * T) per
+    particle."""
+    ray_o, ray_d = camera_rays_world(cam)
+    h, w = ray_o.shape[:2]
+    rays_o = ray_o.reshape(-1, 3)
+    rays_d = ray_d.reshape(-1, 3)
+
+    n = int(model.n_active)
+    pos = model.params.positions[:n]
+    quat = model.params.rotation[:n]
+    scale = model.get_scale()[:n]
+    dens = model.get_density()[:n, 0]
+
+    depth = jnp.linalg.norm(pos, axis=1)  # camera at origin
+    order = jnp.argsort(depth)
+
+    hit = density_hit(rays_o[:, None, :], rays_d[:, None, :],
+                      pos[None, order], quat[None, order],
+                      scale[None, order], dens[None, order],
+                      kernel_degree=raster_cfg.kernel_degree,
+                      min_response=raster_cfg.min_response,
+                      min_alpha=raster_cfg.min_alpha,
+                      max_alpha=raster_cfg.max_alpha)
+    alpha = jnp.where(hit.hit_t > 1e-4, hit.alpha, 0.0)  # [R, N]
+    t_prev = jnp.concatenate([
+        jnp.ones((alpha.shape[0], 1)),
+        jnp.cumprod(1.0 - alpha, axis=1)[:, :-1]], axis=1)
+    alive = t_prev >= raster_cfg.min_transmittance
+    wmat = jnp.where(alive, alpha * t_prev, 0.0)          # [R, N]
+    wmax_sorted = jnp.max(wmat, axis=0)                   # [N]
+    out = jnp.zeros(model.capacity)
+    return out.at[order].set(wmax_sorted)
+
+
+class TestWeightTelemetry:
+    def test_matches_reference(self):
+        cam, model = make_test_scene(n=48, seed=11, res=(48, 32))
+        rc = RasterConfig(max_pairs=1 << 13)
+        out = render_gut(cam, UT, rc, model, sh_degree=0, interpret=True,
+                         weight_telemetry=True)
+        got = np.asarray(out["particle_wmax"])
+        ref = np.asarray(reference_max_weights(cam, model, rc))
+        # tile binning culls low-contribution tiles the brute force sees,
+        # so compare only meaningful weights and allow small slack
+        sig = ref > 5e-3
+        assert sig.sum() > 10
+        np.testing.assert_allclose(got[sig], ref[sig], rtol=0.08,
+                                   atol=5e-3)
+        # nothing should exceed the reference (telemetry sees a subset of
+        # pixel candidates)
+        assert (got <= ref + 1e-4).all()
+
+    def test_prune_weight_drops_invisible(self):
+        from threedgrut_tpu.optimizers.adam import init_adam_state
+        from threedgrut_tpu.strategy import gs as gs_strategy
+
+        cam, model = make_test_scene(n=32, seed=12, res=(32, 32))
+        # park half the particles far outside the frustum -> zero weight
+        pos = np.asarray(model.params.positions).copy()
+        pos[16:32, 0] += 1e3
+        model = model.replace(params=model.params.replace(
+            positions=jnp.asarray(pos)))
+
+        rc = RasterConfig(max_pairs=1 << 13)
+        out = render_gut(cam, UT, rc, model, sh_degree=0, interpret=True,
+                         weight_telemetry=True)
+        params_d = dict(positions=model.params.positions,
+                        rotation=model.params.rotation,
+                        scale=model.params.scale,
+                        density=model.params.density,
+                        features_albedo=model.params.features_albedo,
+                        features_specular=model.params.features_specular)
+        opt = init_adam_state(params_d)
+        bufs = gs_strategy.init_buffers(model.capacity)
+        new_model, _, _, n_pruned = gs_strategy.prune_weight(
+            model, opt, bufs, out["particle_wmax"], threshold=0.01)
+        assert int(n_pruned) >= 16
+        assert int(new_model.n_active) <= 16
+
+    def test_trainer_hook_runs(self):
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from test_training import make_trainer
+        tr = make_trainer("gs")
+        tr.conf.gs = tr.conf.gs.replace(
+            prune_weight_frequency=6, prune_weight_start=2,
+            prune_weight_end=100, weight_telemetry_frequency=2,
+            prune_weight_threshold=1e-5)
+        for step in range(8):
+            m = tr.train_iteration(tr.dataset[step % len(tr.dataset)])
+            assert np.isfinite(m["total"])
+        # telemetry accumulated and at least one prune event ran
+        assert int(tr.model.n_active) > 0

@@ -236,7 +236,17 @@ def to_trainer_config(conf: ConfigNode):
             prune_scale_end=strat.get("prune_scale", {}).get(
                 "end_iteration", -1),
             prune_scale_threshold=strat.get("prune_scale", {}).get(
-                "threshold", 1.0))
+                "threshold", 1.0),
+            prune_weight_frequency=strat.get("prune_weight", {}).get(
+                "frequency", 0),
+            prune_weight_start=strat.get("prune_weight", {}).get(
+                "start_iteration", -1),
+            prune_weight_end=strat.get("prune_weight", {}).get(
+                "end_iteration", -1),
+            prune_weight_threshold=strat.get("prune_weight", {}).get(
+                "threshold", 0.01),
+            weight_telemetry_frequency=strat.get("prune_weight", {}).get(
+                "telemetry_frequency", 10))
     if strategy == "mcmc" and strat:
         rl = strat.get("relocate", {})
         ad = strat.get("add", {})

@@ -778,6 +778,138 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
 
 
 # ---------------------------------------------------------------------------
+# weight telemetry kernel (GS strategy prune_weight)
+# ---------------------------------------------------------------------------
+
+def _wmax_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
+                 wmax_hbm, chunk_buf, row_buf, rmw_buf, sem, out_sem,
+                 rmw_sem, *, cfg: RasterKernelConfig):
+    """Per-pair max blend weight max_pixel(alpha * T) - the telemetry the
+    reference GS strategy's weight pruning consumes (strategy/gs.py
+    prune via max contribution). Forward-only; same chunk streaming and
+    shared-boundary read-modify-write (max) as the backward kernel."""
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    end = start + tile_count_ref[t]
+    first = start // CHUNK
+    nchunks = jnp.where(end > start,
+                        (end + CHUNK - 1) // CHUNK - first, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    shared_first = jax.lax.rem(start, CHUNK) != 0
+
+    ray_o = rays_ref[0, :, 0:3]
+    ray_d = rays_ref[0, :, 3:6]
+    tmin = rays_ref[0, :, 6:7]
+    tmax = rays_ref[0, :, 7:8]
+
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(records_hbm.at[first + i],
+                                     chunk_buf.at[slot], sem.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        i, t_cur = state
+        return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
+
+    def body(state):
+        i, t_cur = state
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            get_dma(1 - slot, i + 1).start()
+
+        get_dma(slot, i).wait()
+
+        @pl.when(shared_first & (i == 0))
+        def _():
+            pltpu.make_async_copy(wmax_hbm.at[first], rmw_buf,
+                                  rmw_sem).start()
+
+        rec = chunk_buf[slot]
+        g0 = (first + i) * CHUNK
+        lane_mask = (lane + g0 >= start) & (lane + g0 < end)
+        w, _, _, _, t_out, _, _ = _chunk_composite(
+            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask)
+        wrow = jnp.max(w, axis=0, keepdims=True)        # [1, CHUNK]
+        wrow = jnp.broadcast_to(wrow, (8, CHUNK))
+
+        @pl.when(shared_first & (i == 0))
+        def _():
+            pltpu.make_async_copy(wmax_hbm.at[first], rmw_buf,
+                                  rmw_sem).wait()
+
+        row_buf[:, :] = jnp.where(shared_first & (i == 0),
+                                  jnp.maximum(wrow, rmw_buf[:, :]), wrow)
+        out_dma = pltpu.make_async_copy(row_buf, wmax_hbm.at[first + i],
+                                        out_sem)
+        out_dma.start()
+        out_dma.wait()
+        return i + 1, t_out
+
+    init = (jnp.asarray(0, jnp.int32), jnp.ones((TILE_PIX, 1), jnp.float32))
+    i_end, _ = jax.lax.while_loop(cond, body, init)
+
+    @pl.when((i_end > 0) & (i_end < nchunks))
+    def _():
+        get_dma(jax.lax.rem(i_end, 2), i_end).wait()
+
+    @pl.when(i_end < nchunks)
+    def _():
+        row_buf[:, :] = jnp.zeros_like(row_buf)
+
+        def zbody(i, _):
+            dma = pltpu.make_async_copy(row_buf, wmax_hbm.at[first + i],
+                                        out_sem)
+            dma.start()
+            dma.wait()
+            return 0
+
+        jax.lax.fori_loop(i_end, nchunks, zbody, 0)
+
+
+def rasterize_weight_telemetry(records, tile_start, tile_count, rays,
+                               cfg: RasterKernelConfig,
+                               interpret: bool = False):
+    """Per-pair max_pixel(alpha * T) over all tiles -> [C * CHUNK]."""
+    num_tiles = rays.shape[0]
+    n_chunks = records.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, cfg.record_dim, CHUNK), jnp.float32),
+            pltpu.VMEM((8, CHUNK), jnp.float32),
+            pltpu.VMEM((8, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    wmax = pl.pallas_call(
+        functools.partial(_wmax_kernel, cfg=cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 8, CHUNK), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_start, tile_count, records, rays)
+    # rows past the last tile's segment are never written
+    last_pair = tile_start[-1] + tile_count[-1]
+    last = (last_pair + CHUNK - 1) // CHUNK
+    used = jnp.arange(n_chunks, dtype=jnp.int32)[:, None] < last
+    return jnp.where(used, wmax[:, 0, :], 0.0).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
 # host-side wrappers + custom VJP
 # ---------------------------------------------------------------------------
 

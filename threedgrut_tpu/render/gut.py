@@ -22,7 +22,8 @@ from ..ops import binning as binning_ops
 from ..ops import ut as ut_ops
 from ..ops.cameras import CameraModel
 from ..ops.pallas.raster import (CHUNK, RasterKernelConfig,
-                                 rasterize_tiles, rasterize_tiles_table)
+                                 rasterize_tiles, rasterize_tiles_table,
+                                 rasterize_weight_telemetry)
 from ..ops.quaternion import quat_normalize
 from ..ops.sh import eval_sh_radiance
 from ..ops.ut import TILE_X, TILE_Y, UTConfig
@@ -82,7 +83,8 @@ def unpack_tiles(out, grid, height, width, out_dim=8):
 def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
                model: GaussianState, sh_degree: int,
                rays: Optional[tuple] = None,
-               interpret: Optional[bool] = None):
+               interpret: Optional[bool] = None,
+               weight_telemetry: bool = False):
     """Render one view with the 3DGUT pipeline.
 
     Args:
@@ -90,6 +92,10 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
             (defaults to camera raygen through the start pose).
         sh_degree: active SH degree (static -> specializes the compile,
             mirroring the reference's compile-time defines).
+        weight_telemetry: run the max-blend-weight kernel instead of the
+            compositing kernel and return {"particle_wmax": [C]} - the
+            per-particle max_pixel(alpha*T) the GS strategy's weight
+            pruning consumes.
     """
     if interpret is None:
         # Pallas kernels only compile for TPU; CPU (tests, virtual meshes)
@@ -208,6 +214,13 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
     rays_packed = pack_rays(ray_o, ray_d, tmin, tmax, grid)
 
     tile_count = b.tile_start[1:] - b.tile_start[:-1]
+    if weight_telemetry:
+        wpair = rasterize_weight_telemetry(
+            jax.lax.stop_gradient(records), b.tile_start[:-1], tile_count,
+            rays_packed, kcfg, interpret)
+        wmax = jax.ops.segment_max(wpair, b.pair_particle,
+                                   num_segments=cap)
+        return {"particle_wmax": jnp.maximum(wmax, 0.0)}
     if table_grad:
         ids = b.pair_particle.reshape(n_chunks, CHUNK)
         out = rasterize_tiles_table(

@@ -57,6 +57,16 @@ class GSStrategyConfig:
     prune_scale_start: int = struct.field(pytree_node=False, default=-1)
     prune_scale_end: int = struct.field(pytree_node=False, default=-1)
     prune_scale_threshold: float = struct.field(pytree_node=False, default=1.0)
+    # weight pruning (reference gs.py prune-by-max-contribution; off by
+    # default there too). Telemetry renders sample views between prune
+    # events and keep a running max (trainer.gs_weight_buf).
+    prune_weight_frequency: int = struct.field(pytree_node=False, default=0)
+    prune_weight_start: int = struct.field(pytree_node=False, default=-1)
+    prune_weight_end: int = struct.field(pytree_node=False, default=-1)
+    prune_weight_threshold: float = struct.field(pytree_node=False,
+                                                 default=0.01)
+    weight_telemetry_frequency: int = struct.field(pytree_node=False,
+                                                   default=10)
 
 
 class GSBuffers(NamedTuple):
@@ -159,6 +169,21 @@ def prune_opacity(state: GaussianState, opt: AdamState, buffers: GSBuffers,
     n_pruned = state.n_active - jnp.sum(keep.astype(jnp.int32))
     state, opt = base.compact(state, opt, keep)
     # buffers ride the same permutation as compact's
+    order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+    buffers = GSBuffers(buffers.grad_norm_accum[order],
+                        buffers.grad_norm_denom[order])
+    return state, opt, buffers, n_pruned
+
+
+@jax.jit
+def prune_weight(state: GaussianState, opt: AdamState, buffers: GSBuffers,
+                 max_weights: jnp.ndarray, threshold: float = 0.01):
+    """Drop particles whose max blend weight max_ray(alpha*T) over the
+    sampled views stayed below threshold (reference gs.py weight prune;
+    telemetry from render_gut(weight_telemetry=True))."""
+    keep = state.active_mask() & (max_weights >= threshold)
+    n_pruned = state.n_active - jnp.sum(keep.astype(jnp.int32))
+    state, opt = base.compact(state, opt, keep)
     order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
     buffers = GSBuffers(buffers.grad_norm_accum[order],
                         buffers.grad_norm_denom[order])

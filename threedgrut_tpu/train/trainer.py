@@ -202,6 +202,7 @@ class Trainer:
         self.opt_state = adam_mod.init_adam_state(self._params_dict())
         if conf.strategy == "gs":
             self.gs_buffers = gs_strategy.init_buffers(model.capacity)
+            self.gs_weight_buf = jnp.zeros(model.capacity, jnp.float32)
         self.n_active_features = conf.init_n_features
 
         oc = conf.optimizer
@@ -477,6 +478,32 @@ class Trainer:
                 self.model, self.opt_state, self.gs_buffers, _ =                     gs_strategy.prune_scale(
                         self.model, self.opt_state, self.gs_buffers,
                         cam_normals, focal, c.prune_scale_threshold)
+            if c.prune_weight_frequency > 0 and strat_base \
+                    .check_step_condition(step, c.prune_weight_start,
+                                          c.prune_weight_end,
+                                          c.weight_telemetry_frequency):
+                # sample the current view's blend weights into the
+                # running-max buffer (reference accumulates telemetry
+                # from every render; we sample every Nth step)
+                sh_degree = min(self.n_active_features,
+                                self.conf.max_n_features)
+                out = render_gut(self._last_cam, self.conf.ut,
+                                 self.conf.raster, self.model, sh_degree,
+                                 weight_telemetry=True)
+                self.gs_weight_buf = jnp.maximum(self.gs_weight_buf,
+                                                 out["particle_wmax"])
+            if strat_base.check_step_condition(step, c.prune_weight_start,
+                                               c.prune_weight_end,
+                                               c.prune_weight_frequency):
+                self.model, self.opt_state, self.gs_buffers, n_pruned = \
+                    gs_strategy.prune_weight(
+                        self.model, self.opt_state, self.gs_buffers,
+                        self.gs_weight_buf, c.prune_weight_threshold)
+                # reset so the next window re-accumulates fresh telemetry
+                self.gs_weight_buf = jnp.zeros_like(self.gs_weight_buf)
+                if self.conf.print_stats:
+                    print(f"[{step}] weight-pruned {int(n_pruned)} "
+                          f"n={int(self.model.n_active)}")
         else:
             c = self.conf.mcmc
             if strat_base.check_step_condition(step, c.relocate_start,
