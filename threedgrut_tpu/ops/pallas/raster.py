@@ -381,7 +381,13 @@ def bitonic_sort_by_key(key, payloads):
             bit_clear = (lane & j) == 0
             key_p = jnp.where(bit_clear, _rotl(key, j), _rotl(key, -j))
             take_min = ascending == bit_clear
-            keep_self = jnp.where(take_min, key <= key_p, key >= key_p)
+            # keep iff (take_min and key<=key_p) or (!take_min and
+            # key>=key_p) == sign*(key_p-key) >= 0. Expressed via a float
+            # sign select because Mosaic rejects boolean-VALUED selects
+            # (vector<i1> truncation) that jnp.where(pred, boolA, boolB)
+            # lowers to.
+            sign = jnp.where(take_min, 1.0, -1.0)
+            keep_self = sign * (key_p - key) >= 0.0
             new_key = jnp.where(keep_self, key, key_p)
             new_payloads = []
             for v in payloads:
@@ -972,7 +978,13 @@ def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
         out_shape=jax.ShapeDtypeStruct((n_chunks, cfg.record_dim, CHUNK),
                                        jnp.float32),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # the sorted (3DGRT) backward vjps through the bitonic network and
+        # needs ~29 MB of stack at CHUNK=256 - above the default 16 MB
+        # scoped-vmem limit but well within the chip's 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=(64 << 20) if cfg.sorted_compositing
+            else None),
     )(tile_start, tile_count, records, rays, fwd_out, grad_out)
     return grads
 
