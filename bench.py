@@ -85,7 +85,7 @@ def main():
                                  update_mask=active)
         return new_p, new_o, loss
 
-    steps_per_call = 5
+    steps_per_call = 10
 
     @jax.jit
     def train_many(params_d, opt_state):
