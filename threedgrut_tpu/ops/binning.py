@@ -36,11 +36,19 @@ class Binning(NamedTuple):
     tile_start: jnp.ndarray     # [T+1] int32 raw segment boundaries
     num_pairs: jnp.ndarray      # [] int32 valid pairs after culling
     overflow: jnp.ndarray       # [] int32 pairs dropped due to capacity
+    # gradient-fold metadata (None unless carry_perm; see
+    # ops/pallas/fold.py and render/gut.py _gather_records_fold):
+    perm: jnp.ndarray = None        # [P] i32 tile-sorted pos -> pre slot
+    pair_rank: jnp.ndarray = None   # [P] f32 PRE-order depth-rank label
+    rank_slot: jnp.ndarray = None   # [cap] i32 pre-slot interval start
+    rank_next: jnp.ndarray = None   # [cap] i32 pre-slot interval end
+    rank_particle: jnp.ndarray = None  # [cap] i32 depth rank -> particle
 
 
 def bin_particles(proj: Projection, tile_grid, max_pairs: int,
                   chunk: int = 128, tile_culling: bool = True,
                   alpha_threshold: float = 1.0 / 255.0,
+                  carry_perm: bool = False,
                   interpret: bool = False) -> Binning:
     """Bin projected particles into per-tile depth-ordered pair lists.
 
@@ -94,7 +102,8 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
         order.astype(jnp.float32)[:, None],       # lane 4
         mat[:, 3:9],                              # lanes 5..10
         slot[:, None], nxt[:, None],              # lanes 11, 12
-        jnp.zeros((n, 128 - 13), jnp.float32),
+        jnp.arange(n, dtype=jnp.float32)[:, None],  # lane 13: depth rank
+        jnp.zeros((n, 128 - 14), jnp.float32),
     ], axis=1)
     table = jnp.pad(table, ((0, n_rows - n), (0, 0)))
     table = jax.lax.stop_gradient(table)          # binning is structural
@@ -113,7 +122,7 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
                                method="scan_unrolled").astype(jnp.int32)
     # fused expand + decode + cull: per-pair (tile, particle) come out of
     # one kernel pass; the vals table never round-trips HBM
-    pt_f, pp_f = expand_decode_pairs(
+    pt_f, pp_f, pr_f = expand_decode_pairs(
         table, src_start, src_end, jnp.minimum(total, max_pairs),
         n_slabs, slab, tile_grid, tile_culling, TILE_X, TILE_Y,
         interpret=interpret)
@@ -121,8 +130,14 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
     pair_particle = pp_f.astype(jnp.int32)
 
     # stable sort by tile id; depth order within tile is preserved
-    pair_tile, pair_particle = jax.lax.sort(
-        (pair_tile, pair_particle), num_keys=1, is_stable=True)
+    perm = None
+    if carry_perm:
+        iota = jnp.arange(pair_tile.shape[0], dtype=jnp.int32)
+        pair_tile, pair_particle, perm = jax.lax.sort(
+            (pair_tile, pair_particle, iota), num_keys=1, is_stable=True)
+    else:
+        pair_tile, pair_particle = jax.lax.sort(
+            (pair_tile, pair_particle), num_keys=1, is_stable=True)
 
     # vectorized binary search (the default "scan" method lowers to a
     # sequential loop on TPU: 3.9 ms -> ~0.1 ms for 2.5k queries into 1M)
@@ -132,7 +147,13 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
 
     num_pairs = jnp.sum((pair_tile < num_tiles).astype(jnp.int32))
     overflow = jnp.maximum(total - max_pairs, 0)
+    extra = {}
+    if carry_perm:
+        extra = dict(perm=perm, pair_rank=pr_f,
+                     rank_slot=excl_c.astype(jnp.int32),
+                     rank_next=offs_c,
+                     rank_particle=order.astype(jnp.int32))
     return Binning(pair_particle=pair_particle.astype(jnp.int32),
                    tile_start=raw_start,
                    num_pairs=num_pairs,
-                   overflow=overflow.astype(jnp.int32))
+                   overflow=overflow.astype(jnp.int32), **extra)

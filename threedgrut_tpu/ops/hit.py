@@ -65,6 +65,33 @@ def particle_response(sq_dist: jnp.ndarray, kernel_degree: int) -> jnp.ndarray:
     raise ValueError(f"unsupported kernel degree {kernel_degree}")
 
 
+def particle_response_dsq(sq_dist: jnp.ndarray, response: jnp.ndarray,
+                          kernel_degree: int) -> jnp.ndarray:
+    """d(particle_response)/d(sq_dist) given the forward response.
+
+    Used by the hand-derived raster backward (ops/pallas/raster.py fast
+    path) to avoid replaying the forward inside ``jax.vjp``.
+    """
+    d = sq_dist
+    if kernel_degree == 0:
+        inv_sqrt = jax.lax.rsqrt(jnp.maximum(d, 1e-18))
+        return jnp.where(response > 0.0, 0.5 * _LINEAR_SCALE * inv_sqrt, 0.0)
+    s = _GG_SCALE[kernel_degree]
+    if kernel_degree == 1:
+        return response * s * 0.5 * jax.lax.rsqrt(jnp.maximum(d, 1e-18))
+    if kernel_degree == 2:
+        return response * s
+    if kernel_degree == 3:
+        return response * s * 1.5 * jnp.sqrt(d)
+    if kernel_degree == 4:
+        return response * s * 2.0 * d
+    if kernel_degree == 5:
+        return response * s * 2.5 * d * jnp.sqrt(d)
+    if kernel_degree == 8:
+        return response * s * 4.0 * d * d * d
+    raise ValueError(f"unsupported kernel degree {kernel_degree}")
+
+
 class HitResult(NamedTuple):
     alpha: jnp.ndarray      # compositing alpha (0 where hit rejected)
     hit_t: jnp.ndarray      # world-space distance of max response

@@ -141,13 +141,16 @@ def _bin_decode_kernel(src_start_ref, src_end_ref, total_ref, table_hbm,
 
     sentinel = jnp.float32(num_tiles)
     pair_tile = jnp.where(keep, ty * grid_x + tx, sentinel)
+    rank = acc[13:14, :]   # depth-sorted source row (lane 13 of the table)
     # row-select instead of concatenating single-sublane pieces (Mosaic
     # rejects (1, S) concats)
     s = pair_tile.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (8, s), 0)
     out_ref[0] = jnp.where(
         row == 0, jnp.broadcast_to(pair_tile, (8, s)),
-        jnp.where(row == 1, jnp.broadcast_to(particle, (8, s)), 0.0))
+        jnp.where(row == 1, jnp.broadcast_to(particle, (8, s)),
+                  jnp.where(row == 2, jnp.broadcast_to(rank, (8, s)),
+                            0.0)))
 
 
 def expand_sorted_rows(table: jnp.ndarray, src_start: jnp.ndarray,
@@ -185,8 +188,9 @@ def expand_decode_pairs(table: jnp.ndarray, src_start: jnp.ndarray,
                         interpret: bool = False):
     """Fused expansion + pair decode + tile culling.
 
-    Returns (pair_tile [n_slabs*slab] f32, pair_particle [n_slabs*slab]
-    f32); culled / out-of-range pairs carry the num_tiles sentinel.
+    Returns (pair_tile, pair_particle, pair_rank) [n_slabs*slab] f32;
+    culled / out-of-range pairs carry the num_tiles tile sentinel (their
+    rank label stays the owning depth row, table lane 13).
     """
     r = table.shape[0]
     if r % BLK:
@@ -210,4 +214,5 @@ def expand_decode_pairs(table: jnp.ndarray, src_start: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n_slabs, 8, slab), jnp.float32),
         interpret=interpret,
     )(src_start, src_end, total.reshape(1).astype(jnp.int32), table)
-    return out[:, 0, :].reshape(-1), out[:, 1, :].reshape(-1)
+    return (out[:, 0, :].reshape(-1), out[:, 1, :].reshape(-1),
+            out[:, 2, :].reshape(-1))

@@ -64,7 +64,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..hit import particle_response
+from ..hit import particle_response, particle_response_dsq
 
 TILE_PIX = 256  # 16 x 16
 # Candidates per streamed chunk (lane width of the compute blocks). 256
@@ -567,22 +567,186 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
 
 
 
-def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, feat_acc,
-                     depth_acc, feat_total, depth_total, t_final, g_feat,
-                     g_t, g_depth, lane_mask, cfg: RasterKernelConfig):
+def _suffix_cotangents(w, hit_t, t_prev, alpha_eff, hit_feats, phi_rem,
+                       t_final, g_feat, g_t, g_depth,
+                       cfg: RasterKernelConfig):
+    """g_alpha / g_hit_t via the single-suffix-sum reformulation.
+
+    The reference's per-channel residual formulation
+    (gaussianParticles.cuh:543-612) needs one prefix sum per feature
+    channel plus depth, each clamped at zero. Mathematically the clamps
+    are no-ops when the residual is computed as a direct suffix sum:
+    per-channel S_c[j] = sum_{k>j} w_k f_ck is non-negative whenever the
+    features are (clamped SH), and the depth suffix is non-negative
+    because accepted hits satisfy hit_t > tmin >= 0. All channels then
+    collapse into ONE suffix sum of the contracted scalar
+    psi = w * (<g_feat, f> + g_depth * hitT):
+
+        dC/dalpha_j = T_j * u_j - S_excl[j] / (1 - alpha_j),
+        dT_fin/dalpha_j = -T_fin / (1 - alpha_j).
+
+    ``phi_rem`` [256,1] is sum_{k >= this chunk} psi_k (the running
+    remainder of the per-pixel total, maintained across chunks).
+    Returns (g_alpha, g_hit_t, psi_sum [256,1]).
+    """
+    phi = jnp.zeros_like(w)
+    for c in range(cfg.feat_dim):
+        phi = phi + g_feat[:, c:c + 1] * hit_feats[c]
+    u = phi + g_depth * hit_t
+    psi = w * u
+    csum = _cumsum_incl(psi)
+    psi_sum = csum[:, -1:]
+    suffix = phi_rem - csum                       # S_excl[j], exact in f32
+    active = w > 0.0
+    inv_1ma = 1.0 / jnp.maximum(1.0 - alpha_eff, 1e-6)
+    g_alpha = jnp.where(
+        active, t_prev * u - (suffix + g_t * t_final) * inv_1ma, 0.0)
+    g_hit_t = jnp.where(active, g_depth * w, 0.0)
+    return g_alpha, g_hit_t, psi_sum
+
+
+def _rows16_put(acc, rows_iota, r0, piece_1k):
+    """Place a [1,K] row at sublane r0 of acc (Mosaic-safe: no (1,K)
+    concatenates)."""
+    return jnp.where(rows_iota == r0,
+                     jnp.broadcast_to(piece_1k, acc.shape), acc)
+
+
+def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
+                    g_feat, g_t, g_depth, lane_mask,
+                    cfg: RasterKernelConfig):
+    """Fused forward-recompute + hand-derived backward for the
+    shared-origin / constant-features / unsorted path (the training hot
+    path). One pass computes the chunk_hits_fast intermediates and reuses
+    them for the pullback, replacing jax.vjp's forward replay; the
+    cotangent assembly uses the suffix-sum reformulation (see
+    _suffix_cotangents).
+
+    Returns (d_rec [R,K], t_out [256,1], psi_sum [256,1]).
+    """
+    f = cfg.feat_dim
+    k = rec.shape[1]
+
+    # --- forward (chunk_hits_fast inlined to expose intermediates) ---
+    def mdot(rows):
+        return jax.lax.dot_general(ray_d, rec[rows:rows + 3, :],
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    bx, by, bz = mdot(_M), mdot(_M + 3), mdot(_M + 6)
+    ax, ay, az = _row(rec, _GRO), _row(rec, _GRO + 1), _row(rec, _GRO + 2)
+    cx = ay * bz - az * by
+    cy = az * bx - ax * bz
+    cz = ax * by - ay * bx
+    m = bx * bx + by * by + bz * bz
+    inv_m = 1.0 / m
+    c2 = cx * cx + cy * cy + cz * cz
+    sq = c2 * inv_m
+    resp = particle_response(sq, cfg.kernel_degree)
+    dens = _row(rec, cfg.density_row)
+    alpha_raw = resp * dens
+    alpha = jnp.minimum(cfg.max_alpha, alpha_raw)
+    q = ax * bx + ay * by + az * bz
+    hit_t = -q * inv_m
+    ok = ((resp > cfg.min_response) & (alpha > cfg.min_alpha)
+          & (hit_t > tmin) & (hit_t < tmax) & lane_mask)
+    alpha = jnp.where(ok, alpha, 0.0)
+    prefix = _prefix_product_excl(1.0 - alpha)
+    t_prev = t_in * prefix
+    alive = t_prev >= cfg.min_transmittance
+    alpha_eff = jnp.where(alive, alpha, 0.0)
+    w = alpha_eff * t_prev
+    dead_vals = jnp.where(alive, -1.0, t_prev)
+    t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
+    t_raw_end = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
+    t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+
+    # --- cotangents (single suffix sum; phi via one MXU contraction) ---
+    feats = rec[cfg.feat_offset:cfg.feat_offset + f, :]          # [F,K]
+    phi = jax.lax.dot_general(g_feat, feats, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    u = phi + g_depth * hit_t
+    psi = w * u
+    csum = _cumsum_incl(psi)
+    psi_sum = csum[:, -1:]
+    suffix = phi_rem - csum
+    active = w > 0.0
+    inv_1ma = 1.0 / jnp.maximum(1.0 - alpha_eff, 1e-6)
+    g_alpha = jnp.where(
+        active, t_prev * u - (suffix + g_t * t_final) * inv_1ma, 0.0)
+    g_ht_full = jnp.where(active, g_depth * w, 0.0)
+
+    # --- hand pullback to record rows ---
+    g_eff = jnp.where(alpha_raw < cfg.max_alpha, g_alpha, 0.0)  # min()
+    d_resp = g_eff * dens
+    d_dens_elt = g_eff * resp
+    d_sq = d_resp * particle_response_dsq(sq, resp, cfg.kernel_degree)
+    # hit_t = -q * inv_m ; sq = c2 * inv_m ; inv_m = 1/m
+    d_q = -g_ht_full * inv_m
+    d_inv_m = d_sq * c2 - g_ht_full * q
+    d_c2 = d_sq * inv_m
+    d_m = -d_inv_m * inv_m * inv_m
+    d_cx = 2.0 * d_c2 * cx
+    d_cy = 2.0 * d_c2 * cy
+    d_cz = 2.0 * d_c2 * cz
+    # c = a x b: d_a = b x d_c ; d_b = d_c x a ; plus q and m terms
+    d_ax = by * d_cz - bz * d_cy + d_q * bx
+    d_ay = bz * d_cx - bx * d_cz + d_q * by
+    d_az = bx * d_cy - by * d_cx + d_q * bz
+    two_dm = 2.0 * d_m
+    d_bx = d_cy * az - d_cz * ay + d_q * ax + two_dm * bx
+    d_by = d_cz * ax - d_cx * az + d_q * ay + two_dm * by
+    d_bz = d_cx * ay - d_cy * ax + d_q * az + two_dm * bz
+
+    # reductions: a/density rows sum over pixels; M rows via ray_d^T @ d_b
+    # (contract the pixel dim of both operands - no explicit transpose,
+    # which Mosaic dislikes for narrow [256,3] tiles)
+    def rdot(db):
+        return jax.lax.dot_general(ray_d, db, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    d_m0, d_m1, d_m2 = rdot(d_bx), rdot(d_by), rdot(d_bz)        # [3,K]
+    d_feats = jax.lax.dot_general(
+        g_feat, w, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                      # [F,K]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cfg.record_dim, k), 0)
+    d_rec = jnp.zeros((cfg.record_dim, k), jnp.float32)
+    d_rec = _rows16_put(d_rec, rows, 0,
+                        jnp.sum(d_ax, axis=0, keepdims=True))
+    d_rec = _rows16_put(d_rec, rows, 1,
+                        jnp.sum(d_ay, axis=0, keepdims=True))
+    d_rec = _rows16_put(d_rec, rows, 2,
+                        jnp.sum(d_az, axis=0, keepdims=True))
+    for i in range(3):
+        d_rec = _rows16_put(d_rec, rows, _M + i, d_m0[i:i + 1, :])
+        d_rec = _rows16_put(d_rec, rows, _M + 3 + i, d_m1[i:i + 1, :])
+        d_rec = _rows16_put(d_rec, rows, _M + 6 + i, d_m2[i:i + 1, :])
+    d_rec = _rows16_put(d_rec, rows, cfg.density_row,
+                        jnp.sum(d_dens_elt, axis=0, keepdims=True))
+    for c in range(f):
+        d_rec = _rows16_put(d_rec, rows, cfg.feat_offset + c,
+                            d_feats[c:c + 1, :])
+    return d_rec, t_out, psi_sum
+
+
+def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, phi_rem,
+                     t_final, g_feat, g_t, g_depth, lane_mask,
+                     cfg: RasterKernelConfig):
     """Per-chunk gradient computation shared by the backward kernels.
 
-    Returns (d_rec [R,K], t_out [256,1], feat_sums [256,F],
-    depth_add [256,1]).
+    Returns (d_rec [R,K], t_out [256,1], psi_sum [256,1]).
     """
+    if (cfg.shared_origin and cfg.feature_mode == "constant"
+            and not cfg.sorted_compositing):
+        return _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_cur, phi_rem,
+                               t_final, g_feat, g_t, g_depth, lane_mask,
+                               cfg)
+
     f = cfg.feat_dim
     (w, alpha_eff, hit_t, t_prev, t_out, canonical,
      sorted_feats) = _chunk_composite(
         rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask)
-    t_after = t_prev * (1.0 - alpha_eff)
-    next_alive = t_after > cfg.min_transmittance
-    safe_t_after = jnp.where(next_alive, t_after, 1.0)
-    active = alpha_eff > 0.0
 
     if sorted_feats is not None:
         hit_feats = sorted_feats
@@ -593,33 +757,9 @@ def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, feat_acc,
     else:
         hit_feats = nht_hit_features(rec, canonical, cfg)
 
-    # residual formulation (gaussianParticles.cuh:543-612)
-    g_alpha = jnp.zeros_like(w)
-    sums = []
-    for c in range(f):
-        wf_c = w * hit_feats[c]
-        feat_upto_c = feat_acc[:, c:c + 1] + _cumsum_incl(wf_c)
-        res_c = jnp.where(next_alive,
-                          (feat_total[:, c:c + 1] - feat_upto_c)
-                          / safe_t_after, 0.0)
-        if cfg.feature_mode == "constant":
-            # guard valid only for non-negative (clamped SH) features
-            # (gaussianParticles.cuh:611); NHT features are signed
-            res_c = jnp.maximum(res_c, 0.0)
-        g_alpha = g_alpha + g_feat[:, c:c + 1] * t_prev * (hit_feats[c]
-                                                           - res_c)
-        sums.append(jnp.sum(wf_c, axis=1, keepdims=True))
-    depth_upto = depth_acc + _cumsum_incl(w * hit_t)
-    res_d = jnp.where(next_alive,
-                      (depth_total - depth_upto) / safe_t_after, 0.0)
-    res_d = jnp.maximum(res_d, 0.0)
-    g_alpha = g_alpha + g_depth * t_prev * (hit_t - res_d)
-    residual_trm = jnp.where(alpha_eff < 0.999999,
-                             t_final / (1.0 - alpha_eff), t_prev)
-    # dT_final/dalpha_j = -T_final / (1 - alpha_j)
-    g_alpha = g_alpha - g_t * residual_trm
-    g_alpha = jnp.where(active, g_alpha, 0.0)
-    g_hit_t = jnp.where(active, g_depth * w, 0.0)
+    g_alpha, g_hit_t, psi_sum = _suffix_cotangents(
+        w, hit_t, t_prev, alpha_eff, hit_feats, phi_rem, t_final, g_feat,
+        g_t, g_depth, cfg)
 
     # --- pull back into record space via autodiff ---
     w_const = jax.lax.stop_gradient(w)
@@ -650,8 +790,7 @@ def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, feat_acc,
 
     _, vjp_fn = jax.vjp(chunk_fn, rec)
     (d_rec,) = vjp_fn((g_alpha, g_hit_t, g_feat))
-    return (d_rec, t_out, jnp.concatenate(sums, axis=1),
-            jnp.sum(w * hit_t, axis=1, keepdims=True))
+    return d_rec, t_out, psi_sum
 
 
 # ---------------------------------------------------------------------------
@@ -697,6 +836,11 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
     g_t = grad_out_ref[0, :, f + 3:f + 4] - grad_out_ref[0, :, f:f + 1]
     g_depth = grad_out_ref[0, :, f + 1:f + 2]
 
+    # per-pixel total of psi = w*(<g_feat,f> + g_depth*hitT) over all
+    # chunks == <g_feat, feat_total> + g_depth * depth_total
+    phi_total = (jnp.sum(g_feat * feat_total, axis=1, keepdims=True)
+                 + g_depth * depth_total)
+
     def get_dma(slot, i):
         return pltpu.make_async_copy(records_hbm.at[first + i],
                                      chunk_buf.at[slot], sem.at[slot])
@@ -706,14 +850,14 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         get_dma(0, 0).start()
 
     def cond(state):
-        i, t_cur, _, _ = state
+        i, t_cur, _ = state
         # early exit once every ray is dead: remaining chunks contribute
         # exactly zero gradient (w == 0 under the kill mask) and are
         # zero-filled after the loop
         return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
 
     def body(state):
-        i, t_cur, feat_acc, depth_acc = state
+        i, t_cur, phi_acc = state
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < nchunks)
@@ -731,10 +875,9 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         rec = chunk_buf[slot]
         g0 = (first + i) * CHUNK
         lane_mask = (lane + g0 >= start) & (lane + g0 < end)
-        d_rec, t_out, sums, depth_add = _bwd_chunk_grads(
-            rec, ray_o, ray_d, tmin, tmax, t_cur, feat_acc, depth_acc,
-            feat_total, depth_total, t_final, g_feat, g_t, g_depth,
-            lane_mask, cfg)
+        d_rec, t_out, psi_sum = _bwd_chunk_grads(
+            rec, ray_o, ray_d, tmin, tmax, t_cur, phi_total - phi_acc,
+            t_final, g_feat, g_t, g_depth, lane_mask, cfg)
 
         @pl.when(accumulate(i))
         def _():
@@ -747,16 +890,14 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
                                         out_sem)
         out_dma.start()
 
-        feat_acc = feat_acc + sums
-        depth_acc = depth_acc + depth_add
+        phi_acc = phi_acc + psi_sum
         out_dma.wait()
-        return i + 1, t_out, feat_acc, depth_acc
+        return i + 1, t_out, phi_acc
 
     init = (jnp.asarray(0, jnp.int32),
             jnp.ones((TILE_PIX, 1), jnp.float32),
-            jnp.zeros((TILE_PIX, f), jnp.float32),
             jnp.zeros((TILE_PIX, 1), jnp.float32))
-    i_end, _, _, _ = jax.lax.while_loop(cond, body, init)
+    i_end, _, _ = jax.lax.while_loop(cond, body, init)
 
     # drain the prefetched-but-unconsumed DMA on early exit
     @pl.when((i_end > 0) & (i_end < nchunks))

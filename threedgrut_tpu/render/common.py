@@ -27,6 +27,9 @@ class RasterConfig:
     sorted_compositing: bool = struct.field(pytree_node=False, default=False)
     max_pairs: int = struct.field(pytree_node=False, default=1 << 21)
     # max_pairs must stay a multiple of the kernel CHUNK (128)
+    # route param gradients through the particle-order interval fold
+    # (ops/pallas/fold.py) instead of XLA's scatter-add lowering
+    grad_fold: bool = struct.field(pytree_node=False, default=False)
 
 
 def camera_rays_world(cam: CameraModel):

@@ -12,6 +12,7 @@ Returned dict mirrors threedgut_tracer/tracer.py:342-350:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -80,6 +81,39 @@ def unpack_tiles(out, grid, height, width, out_dim=8):
     return img[:height, :width]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _gather_records_fold(table, idx, perm, pair_rank, rank_slot, rank_next,
+                         rank_particle, interpret):
+    """``table[idx]`` whose backward folds pair gradients with the
+    particle-order interval-matmul kernel (ops/pallas/fold.py) instead of
+    XLA's scatter-add lowering: un-permute d_records to the pre-tile-sort
+    pair order (where each depth rank owns a contiguous slot interval),
+    MXU-fold per rank, then map depth ranks back to particle rows."""
+    return table[idx]
+
+
+def _grf_fwd(table, idx, perm, pair_rank, rank_slot, rank_next,
+             rank_particle, interpret):
+    res = (perm, pair_rank, rank_slot, rank_next, rank_particle)
+    return table[idx], res
+
+
+def _grf_bwd(interpret, res, g):
+    from ..ops.pallas.fold import fold_sorted_intervals
+
+    perm, pair_rank, rank_slot, rank_next, rank_particle = res
+    inv_pm = jnp.argsort(perm)          # pre slot -> tile-sorted position
+    pre = g[inv_pm]
+    d_rank = fold_sorted_intervals(pre, pair_rank, rank_slot, rank_next,
+                                   interpret=interpret)
+    inv_rank = jnp.argsort(rank_particle)   # particle -> depth rank
+    d_table = d_rank[inv_rank]
+    return d_table, None, None, None, None, None, None
+
+
+_gather_records_fold.defvjp(_grf_fwd, _grf_bwd)
+
+
 def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
                model: GaussianState, sh_degree: int,
                rays: Optional[tuple] = None,
@@ -130,7 +164,8 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
     b = binning_ops.bin_particles(
         proj, grid, raster_cfg.max_pairs, chunk=CHUNK,
         tile_culling=raster_cfg.tile_culling,
-        alpha_threshold=ut_cfg.alpha_threshold, interpret=interpret)
+        alpha_threshold=ut_cfg.alpha_threshold,
+        carry_perm=raster_cfg.grad_fold, interpret=interpret)
 
     # the hot path (camera rays, global shutter) has one shared ray origin
     # -> the kernel can use the factorized MXU response (chunk_hits_fast).
@@ -185,7 +220,12 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
             jnp.zeros((cap, pad_cols), jnp.float32)], axis=1)
     # sentinel / out-of-range pairs lie outside every tile's [start, end)
     # range and are lane-masked in the kernel - no value masking needed
-    records = table[idx]
+    if raster_cfg.grad_fold:
+        records = _gather_records_fold(
+            table, idx, b.perm, b.pair_rank, b.rank_slot, b.rank_next,
+            b.rank_particle, interpret)
+    else:
+        records = table[idx]
     n_chunks = p_total // CHUNK
     records = records.reshape(n_chunks, CHUNK, rdim).transpose(0, 2, 1)
     # gradient route: the table path folds d_records on-chip via the

@@ -102,6 +102,15 @@ class TrainerConfig:
     val_frequency: int = 5000
     seed: int = 42
     print_stats: bool = False
+    # auto-size the pair budget to the workload: start from
+    # raster.max_pairs, grow on overflow, shrink when the observed peak
+    # leaves >2x headroom (every pair-scaled stage does proportionally
+    # less work; right-sizing measured 9.81 -> 12.03 it/s on bench).
+    # Each resize re-jits the train step, so changes are hysteretic and
+    # milestone-aligned.
+    auto_max_pairs: bool = True
+    max_pairs_headroom: float = 1.3
+    max_pairs_calibrate_every: int = 500
     # learned post-processing (models/post_processing.py):
     # None | "linear-to-srgb" | "ppisp"
     post_processing: Optional[str] = None
@@ -217,6 +226,10 @@ class Trainer:
         }
         self._train_step_cache: Dict[Any, Any] = {}
         self.metrics_history = []
+        # pair-budget auto-calibration state
+        self._max_pairs = conf.raster.max_pairs
+        self._peak_pairs = 0
+        self._pairs_dirty = True  # sample every step until first calib
 
     # ------------------------------------------------------------------
 
@@ -281,6 +294,47 @@ class Trainer:
         return self.global_step >= max(self.conf.n_iterations
                                        - refine_steps, 0)
 
+    # --- pair-budget auto-calibration -----------------------------------
+
+    def _raster_cfg(self) -> RasterConfig:
+        if not self.conf.auto_max_pairs:
+            return self.conf.raster
+        return self.conf.raster.replace(max_pairs=self._max_pairs)
+
+    @staticmethod
+    def _round_pairs(x: float) -> int:
+        return max(8192, ((int(x) + 8191) // 8192) * 8192)
+
+    def _calibrate_pairs(self, metrics):
+        """Grow the pair budget on overflow; shrink at milestones when the
+        observed peak leaves >2x headroom. Both re-jit the train step."""
+        if not self.conf.auto_max_pairs:
+            return
+        step = self.global_step
+        every = max(self.conf.max_pairs_calibrate_every, 1)
+        if not (step <= 10 or step % 50 == 0 or step % every == 0):
+            return
+        pairs = int(metrics["pairs"])
+        overflow = int(metrics["overflow"])
+        self._peak_pairs = max(self._peak_pairs, pairs + overflow)
+        head = self.conf.max_pairs_headroom
+        if overflow > 0:
+            new = self._round_pairs(self._peak_pairs * head)
+            if self.conf.print_stats and new != self._max_pairs:
+                print(f"[{step}] pair budget overflow ({overflow}): "
+                      f"{self._max_pairs} -> {new}")
+            self._max_pairs = max(new, self._max_pairs)
+            return
+        if step % every == 0 and step > 0:
+            target = self._round_pairs(self._peak_pairs * head)
+            if target < self._max_pairs // 2:
+                if self.conf.print_stats:
+                    print(f"[{step}] pair budget shrink: "
+                          f"{self._max_pairs} -> {target}")
+                self._max_pairs = target
+            # decay so later prunes can shrink the budget again
+            self._peak_pairs = int(self._peak_pairs * 0.5)
+
     # ------------------------------------------------------------------
 
     def _build_train_step(self, sh_degree: int):
@@ -293,6 +347,7 @@ class Trainer:
         conf = self.conf
         base_model = self.model
         selective = conf.optimizer.type == "selective_adam"
+        raster_cfg = self._raster_cfg()
 
         use_ppisp = conf.post_processing == "ppisp"
 
@@ -312,7 +367,7 @@ class Trainer:
                 dec_params = pd.pop("nht_decoder", None)
                 isp_params = pd.pop("ppisp", None)
                 m = model.replace(params=model.params.replace(**pd))
-                out = render_gut(cam, conf.ut, conf.raster, m, sh_degree)
+                out = render_gut(cam, conf.ut, raster_cfg, m, sh_degree)
                 pred = out["pred_features"]
                 if decoder is not None:
                     from ..render.common import camera_rays_world
@@ -382,7 +437,7 @@ class Trainer:
         cam = camera_from_batch(batch, self.conf.ut)
         sh_degree = min(self.n_active_features, self.conf.max_n_features)
         cache_key = (cam.resolution, cam.model_type, cam.shutter_type,
-                     sh_degree, self.model.capacity)
+                     sh_degree, self.model.capacity, self._max_pairs)
         if cache_key not in self._train_step_cache:
             self._train_step_cache[cache_key] = self._build_train_step(
                 sh_degree)
@@ -413,6 +468,7 @@ class Trainer:
             self.writer.add_scalar("train/n_gaussians",
                                    int(self.model.n_active),
                                    self.global_step)
+        self._calibrate_pairs(metrics)
         # device arrays (float()-able); conversion forces a sync, so leave
         # it to the caller's logging cadence
         return metrics
@@ -488,7 +544,7 @@ class Trainer:
                 sh_degree = min(self.n_active_features,
                                 self.conf.max_n_features)
                 out = render_gut(self._last_cam, self.conf.ut,
-                                 self.conf.raster, self.model, sh_degree,
+                                 self._raster_cfg(), self.model, sh_degree,
                                  weight_telemetry=True)
                 self.gs_weight_buf = jnp.maximum(self.gs_weight_buf,
                                                  out["particle_wmax"])
@@ -642,8 +698,8 @@ class Trainer:
         for i in range(len(ds)):
             batch = ds[i]
             cam = camera_from_batch(batch, self.conf.ut)
-            out = render_gut(cam, self.conf.ut, self.conf.raster, self.model,
-                             sh_degree)
+            out = render_gut(cam, self.conf.ut, self._raster_cfg(),
+                             self.model, sh_degree)
             pred = out["pred_features"]
             if self.decoder is not None:
                 from ..render.common import camera_rays_world
@@ -680,8 +736,8 @@ class Trainer:
 
         cam = camera_from_batch(batch, self.conf.ut)
         sh_degree = min(self.n_active_features, self.conf.max_n_features)
-        out = render_gut(cam, self.conf.ut, self.conf.raster, self.model,
-                         sh_degree)
+        out = render_gut(cam, self.conf.ut, self._raster_cfg(),
+                         self.model, sh_degree)
         pred = out["pred_features"]
         if self.decoder is not None:
             from ..render.common import camera_rays_world
