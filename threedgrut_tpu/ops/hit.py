@@ -154,6 +154,27 @@ def density_hit(ray_o: jnp.ndarray,
                      canonical=canonical)
 
 
+def hit_normal(ray_o, ray_d, pos, quat, scale):
+    """Per-hit world normal, reference semantics.
+
+    The reference blends, per accepted hit, the normalized elementwise
+    product of the ray's 3-sigma-ellipsoid entry point (canonical frame)
+    with the rotated scale vector R @ s
+    (gaussianParticles.cuh:397-401, ellispoidSqRadius = 9).
+    """
+    rot = quat_to_rotmat(quat_normalize(quat))
+    gro, grd = canonical_ray(ray_o, ray_d, pos, quat, scale)
+    gcrod = jnp.cross(grd, gro)
+    sq_dist = jnp.sum(gcrod * gcrod, axis=-1, keepdims=True)
+    proj = jnp.sum(grd * (-gro), axis=-1, keepdims=True)
+    entry = gro + grd * (proj - jnp.sqrt(jnp.maximum(9.0 - sq_dist, 0.0)))
+    rs = jnp.einsum("...ji,...i->...j", rot, scale, precision="highest")
+    n = entry * rs
+    inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(n * n, axis=-1, keepdims=True),
+                                    1e-24))
+    return n * inv
+
+
 def max_response_hit_distance(ray_o, ray_d, pos, quat, scale):
     """Signed distance of max response only (used by 3DGRT ordering).
 

@@ -11,8 +11,13 @@ is an equality-mask matmul that rides the MXU instead of XLA's
 scatter-add lowering (~18.5 ms for 1M x 16 -> 100k on v5e; NOTES.md).
 Each grid step owns BLKR=128 consecutive rank rows and streams only the
 lane slabs covering its contiguous slot span (interval bounds arrive as
-prefetch scalars); the per-pair rank labels stream alongside the data as
-a lane-major sideband row, so the mask needs no per-rank scalar lifting.
+prefetch scalars).
+
+Layout: Mosaic requires HBM DMA lane dims to be 128-aligned, so PACK =
+128/fdim consecutive pairs ride one 128-lane row (a pure reshape of the
+row-major [P, fdim] gradient array); the per-pair rank labels stream as
+a [PACK, FSLAB/PACK] sideband block and the fold runs PACK equality-mask
+matmuls per slab, one per lane phase.
 """
 
 from __future__ import annotations
@@ -25,11 +30,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLKR = 128    # output rank rows per grid step
-FSLAB = 2048  # pair lanes per streamed matmul block
+FSLAB = 2048  # pair lanes per streamed slab
 
 
 def _fold_kernel(slot_ref, nxt_ref, pre_hbm, rank_hbm, out_ref, buf, rbuf,
-                 sem, rsem, *, fdim):
+                 sem, rsem, *, fd_pad, pack):
     rb = pl.program_id(0)
     # contiguous span of pair slots covered by this rank block
     s0 = slot_ref[rb * BLKR]
@@ -47,14 +52,17 @@ def _fold_kernel(slot_ref, nxt_ref, pre_hbm, rank_hbm, out_ref, buf, rbuf,
         rdma.start()
         dma.wait()
         rdma.wait()
-        mask = (rbuf[0:1, :] == r_iota).astype(jnp.float32)
-        # [BLKR, FSLAB] @ [FSLAB, fdim] -> [BLKR, fdim]
-        return acc + jax.lax.dot_general(
-            mask, buf[:, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        for k in range(pack):
+            mask = (rbuf[k:k + 1, :] == r_iota).astype(jnp.float32)
+            # [BLKR, FSLAB/pack] @ [FSLAB/pack, fd_pad]
+            acc = acc + jax.lax.dot_general(
+                mask, buf[:, k * fd_pad:(k + 1) * fd_pad],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return acc
 
     out_ref[0] = jax.lax.fori_loop(
-        0, nblk, body, jnp.zeros((BLKR, fdim), jnp.float32))
+        0, nblk, body, jnp.zeros((BLKR, fd_pad), jnp.float32))
 
 
 def fold_sorted_intervals(pre: jnp.ndarray, pair_rank: jnp.ndarray,
@@ -64,12 +72,13 @@ def fold_sorted_intervals(pre: jnp.ndarray, pair_rank: jnp.ndarray,
 
     pre: [P, F] pair rows (P a multiple of FSLAB); pair_rank: [P] f32 rank
     labels (consistent with the intervals); slot/nxt: [R] int32 interval
-    bounds clamped to [0, P], R a multiple of BLKR. Rows whose rank label
-    lies outside the owning block contribute nothing (labels and
-    intervals must agree).
+    bounds clamped to [0, P]. Labels outside [0, R) never match.
     """
     p, fdim = pre.shape
     r = slot.shape[0]
+    fd_pad = next(d for d in (8, 16, 32, 64, 128) if d >= fdim)
+    if fdim < fd_pad:
+        pre = jnp.pad(pre, ((0, 0), (0, fd_pad - fdim)))
     if p % FSLAB:
         padp = FSLAB - p % FSLAB
         pre = jnp.pad(pre, ((0, padp), (0, 0)))
@@ -77,34 +86,39 @@ def fold_sorted_intervals(pre: jnp.ndarray, pair_rank: jnp.ndarray,
         p += padp
     if r % BLKR:
         padr = BLKR - r % BLKR
-        out = fold_sorted_intervals(
-            jnp.asarray(pre), pair_rank,
-            jnp.pad(slot, (0, padr), constant_values=p),
-            jnp.pad(nxt, (0, padr), constant_values=p),
-            interpret=interpret)
-        return out[:r]
-    rank_rows = jnp.broadcast_to(
-        pair_rank.reshape(p // FSLAB, 1, FSLAB), (p // FSLAB, 8, FSLAB))
-    # chunked [n, FSLAB, F] blocks: whole-block DMAs (HBM slices along a
-    # non-leading dim must be 128-lane aligned, which F=16 is not)
-    pre_blocks = pre.reshape(p // FSLAB, FSLAB, fdim)
-    return pl.pallas_call(
-        functools.partial(_fold_kernel, fdim=fdim),
+        slot = jnp.pad(slot, (0, padr), constant_values=p)
+        nxt = jnp.pad(nxt, (0, padr), constant_values=p)
+    rp = slot.shape[0]
+    pack = 128 // fd_pad
+    n = p // FSLAB
+    sp = FSLAB // pack
+    # PACK consecutive pairs per 128-lane row (pure reshape, row-major)
+    pre_blocks = pre.reshape(n, sp, pack * fd_pad)
+    # rank sideband: [slab, k, row] = rank of pair slab*FSLAB + row*pack + k
+    # (k dim padded to >= 8 sublanes for DMA tiling)
+    rank_rows = pair_rank.reshape(n, sp, pack).transpose(0, 2, 1)
+    rk = max(pack, 8)
+    if pack < rk:
+        rank_rows = jnp.pad(rank_rows, ((0, 0), (0, rk - pack), (0, 0)),
+                            constant_values=-1.0)
+    out = pl.pallas_call(
+        functools.partial(_fold_kernel, fd_pad=fd_pad, pack=pack),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(r // BLKR,),
+            grid=(rp // BLKR,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((1, BLKR, fdim), lambda i, *_: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, BLKR, fd_pad), lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((FSLAB, fdim), jnp.float32),
-                pltpu.VMEM((8, FSLAB), jnp.float32),
+                pltpu.VMEM((sp, pack * fd_pad), jnp.float32),
+                pltpu.VMEM((rk, sp), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((r // BLKR, BLKR, fdim),
+        out_shape=jax.ShapeDtypeStruct((rp // BLKR, BLKR, fd_pad),
                                        jnp.float32),
         interpret=interpret,
-    )(slot, nxt, pre_blocks, rank_rows).reshape(r, fdim)
+    )(slot, nxt, pre_blocks, rank_rows)
+    return out.reshape(rp, fd_pad)[:r, :fdim]

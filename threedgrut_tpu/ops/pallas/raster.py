@@ -98,6 +98,11 @@ class RasterKernelConfig(NamedTuple):
     # every chunk after the first program) instead of the disjoint-segment
     # set-with-boundary-RMW scheme
     shared_segments: bool = False
+    # alpha-blended per-hit normals (reference enable_normals,
+    # gaussianParticles.cuh:397-401): 3 extra output lanes after the
+    # final-transmittance lane. Forward-only - the reference backward
+    # carries no normal cotangents either.
+    compute_normals: bool = False
 
     # --- derived layout ---
     @property
@@ -127,7 +132,8 @@ class RasterKernelConfig(NamedTuple):
 
     @property
     def out_dim(self) -> int:
-        return ((self.feat_dim + 4 + 7) // 8) * 8
+        extra = 3 if self.compute_normals else 0
+        return ((self.feat_dim + 4 + extra + 7) // 8) * 8
 
 
 # record field rows (general geometry)
@@ -154,12 +160,15 @@ def _alpha_from_response(response, density, cfg: RasterKernelConfig):
 
 
 def chunk_hits_general(rec, ray_o, ray_d, cfg: RasterKernelConfig,
-                       need_canonical: bool = False):
+                       need_canonical: bool = False,
+                       need_normals: bool = False):
     """Canonical-frame hit model for K records x 256 rays.
 
     rec: [R,K] field-major chunk; ray_o/ray_d: [256,3] (pixel-major).
-    Returns (alpha [256,K], hit_t [256,K], canonical (3 x [256,K]) | None).
-    Same math as ops.hit.density_hit (gaussianParticles.slang:206-243).
+    Returns (alpha [256,K], hit_t [256,K], canonical (3 x [256,K]) | None,
+    normals (3 x [256,K]) | None).
+    Same math as ops.hit.density_hit (gaussianParticles.slang:206-243);
+    normals follow ops.hit.hit_normal (gaussianParticles.cuh:397-401).
     """
     ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]   # [256,1]
     dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
@@ -208,11 +217,26 @@ def chunk_hits_general(rec, ray_o, ray_d, cfg: RasterKernelConfig,
     if need_canonical:
         # canonical intersection (gaussianParticles.slang:181-190)
         canonical = (gox + gdx * proj, goy + gdy * proj, goz + gdz * proj)
-    return alpha, hit_t, canonical
+    normals = None
+    if need_normals:
+        # entry of the 3-sigma canonical ellipsoid, elementwise-scaled by
+        # R @ s and normalized (gaussianParticles.cuh:397-401)
+        rs_x = r00 * sx + r01 * sy + r02 * sz       # [1,K] rows
+        rs_y = r10 * sx + r11 * sy + r12 * sz
+        rs_z = r20 * sx + r21 * sy + r22 * sz
+        entry_t = proj - jnp.sqrt(jnp.maximum(9.0 - sq_dist, 0.0))
+        nx = (gox + gdx * entry_t) * rs_x
+        ny = (goy + gdy * entry_t) * rs_y
+        nz = (goz + gdz * entry_t) * rs_z
+        inv_n = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                          1e-24))
+        normals = (nx * inv_n, ny * inv_n, nz * inv_n)
+    return alpha, hit_t, canonical, normals
 
 
 def chunk_hits_fast(rec, ray_d, cfg: RasterKernelConfig,
-                    need_canonical: bool = False):
+                    need_canonical: bool = False,
+                    need_normals: bool = False):
     """Shared-ray-origin fast path: alpha/hitT via three MXU matmuls.
 
     When every ray shares one origin o (pinhole/fisheye camera, global
@@ -254,16 +278,39 @@ def chunk_hits_fast(rec, ray_d, cfg: RasterKernelConfig,
     canonical = None
     if need_canonical:
         canonical = (ax + bx * hit_t, ay + by * hit_t, az + bz * hit_t)
-    return alpha, hit_t, canonical
+    normals = None
+    if need_normals:
+        # R @ s from M = diag(1/s) R^T alone: s_i^2 = 1/|M row i|^2 and
+        # (R s)_j = sum_i M_ij s_i^2 (per-particle rows)
+        m0 = rec[_M:_M + 3, :]
+        m1 = rec[_M + 3:_M + 6, :]
+        m2 = rec[_M + 6:_M + 9, :]
+        s2 = [1.0 / jnp.maximum(jnp.sum(mi * mi, axis=0, keepdims=True),
+                                1e-24) for mi in (m0, m1, m2)]
+        rs = [s2[0] * m0[i:i + 1, :] + s2[1] * m1[i:i + 1, :]
+              + s2[2] * m2[i:i + 1, :] for i in range(3)]
+        inv_sqm = jax.lax.rsqrt(m)
+        # canonical-unit ray: origin a, unit dir b/|b|
+        entry_t = -q * inv_sqm - jnp.sqrt(jnp.maximum(9.0 - sq_dist, 0.0))
+        nx = (ax + bx * inv_sqm * entry_t) * rs[0]
+        ny = (ay + by * inv_sqm * entry_t) * rs[1]
+        nz = (az + bz * inv_sqm * entry_t) * rs[2]
+        inv_n = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                          1e-24))
+        normals = (nx * inv_n, ny * inv_n, nz * inv_n)
+    return alpha, hit_t, canonical, normals
 
 
-def chunk_hits_dispatch(rec, ray_o, ray_d, cfg: RasterKernelConfig):
+def chunk_hits_dispatch(rec, ray_o, ray_d, cfg: RasterKernelConfig,
+                        need_normals: bool = False):
     need_canonical = cfg.feature_mode == "nht"
     if cfg.shared_origin:
         return chunk_hits_fast(rec, ray_d, cfg,
-                               need_canonical=need_canonical)
+                               need_canonical=need_canonical,
+                               need_normals=need_normals)
     return chunk_hits_general(rec, ray_o, ray_d, cfg,
-                              need_canonical=need_canonical)
+                              need_canonical=need_canonical,
+                              need_normals=need_normals)
 
 
 # --- NHT feature evaluation ------------------------------------------------
@@ -427,17 +474,19 @@ def _cumsum_incl(x):
 
 
 def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
-                     cfg: RasterKernelConfig, lane_mask=None):
+                     cfg: RasterKernelConfig, lane_mask=None,
+                     need_normals: bool = False):
     """One chunk of front-to-back compositing (pixel-major layout).
 
     ``lane_mask`` [1,K] masks candidates outside the tile's raw
     [start, end) range (boundary chunks are shared between tiles).
     Returns (w, alpha_eff, hit_t, t_prev [256,K], t_out [256,1], canonical,
-    hit_feats): hit_feats is the per-(pair, pixel) feature list when the
-    chunk was re-sorted per ray (3DGRT) - downstream must then use the
-    sorted feature arrays instead of the record rows.
+    hit_feats, normals): hit_feats is the per-(pair, pixel) feature list
+    when the chunk was re-sorted per ray (3DGRT) - downstream must then
+    use the sorted feature arrays instead of the record rows.
     """
-    alpha, hit_t, canonical = chunk_hits_dispatch(rec, ray_o, ray_d, cfg)
+    alpha, hit_t, canonical, normals = chunk_hits_dispatch(
+        rec, ray_o, ray_d, cfg, need_normals=need_normals)
     in_range = (hit_t > tmin) & (hit_t < tmax)
     if lane_mask is not None:
         in_range = in_range & lane_mask
@@ -453,11 +502,14 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
         feats = [jnp.broadcast_to(_row(rec, cfg.feat_offset + c),
                                   alpha.shape)
                  for c in range(cfg.feat_dim)]
+        norm_list = list(normals) if normals is not None else []
         key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.0e38))
         _, sorted_payloads = bitonic_sort_by_key(
-            key, [alpha, hit_t] + feats)
+            key, [alpha, hit_t] + feats + norm_list)
         alpha, hit_t = sorted_payloads[0], sorted_payloads[1]
-        hit_feats = sorted_payloads[2:]
+        hit_feats = sorted_payloads[2:2 + cfg.feat_dim]
+        if normals is not None:
+            normals = tuple(sorted_payloads[2 + cfg.feat_dim:])
 
     # single exclusive prefix product; the "kill" (ray dead once T drops
     # below the threshold) freeze is recovered without a second scan:
@@ -473,7 +525,7 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
     t_raw_end = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
     any_dead = t_frozen >= 0.0
     t_out = jnp.where(any_dead, t_frozen, t_raw_end)
-    return w, alpha_eff, hit_t, t_prev, t_out, canonical, hit_feats
+    return w, alpha_eff, hit_t, t_prev, t_out, canonical, hit_feats, normals
 
 
 def _accumulate_features(rec, w, canonical, hit_feats,
@@ -519,11 +571,11 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         get_dma(0, 0).start()
 
     def cond(state):
-        i, t_cur, _, _, _ = state
+        i, t_cur = state[0], state[1]
         return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
 
     def body(state):
-        i, t_cur, feat, depth, hits = state
+        i, t_cur, feat, depth, hits, nacc = state
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < nchunks)
@@ -534,20 +586,29 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         rec = chunk_buf[slot]
         g0 = (first + i) * CHUNK
         lane_mask = (lane + g0 >= start) & (lane + g0 < end)
-        w, _, hit_t, _, t_out, canonical, hit_feats = _chunk_composite(
-            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask)
+        (w, _, hit_t, _, t_out, canonical, hit_feats,
+         normals) = _chunk_composite(
+            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask,
+            need_normals=cfg.compute_normals)
         feat = feat + _accumulate_features(rec, w, canonical, hit_feats, cfg)
         depth = depth + jnp.sum(w * hit_t, axis=1, keepdims=True)
         hits = hits + jnp.sum((w > 0.0).astype(jnp.float32), axis=1,
                               keepdims=True)
-        return i + 1, t_out, feat, depth, hits
+        if cfg.compute_normals:
+            nacc = nacc + jnp.concatenate(
+                [jnp.sum(w * nc, axis=1, keepdims=True) for nc in normals],
+                axis=1)
+        return i + 1, t_out, feat, depth, hits, nacc
 
+    n_cols = 3 if cfg.compute_normals else 1  # dummy col when disabled
     init = (jnp.asarray(0, jnp.int32),
             jnp.ones((TILE_PIX, 1), jnp.float32),
             jnp.zeros((TILE_PIX, cfg.feat_dim), jnp.float32),
             jnp.zeros((TILE_PIX, 1), jnp.float32),
-            jnp.zeros((TILE_PIX, 1), jnp.float32))
-    i_end, t_fin, feat, depth, hits = jax.lax.while_loop(cond, body, init)
+            jnp.zeros((TILE_PIX, 1), jnp.float32),
+            jnp.zeros((TILE_PIX, n_cols), jnp.float32))
+    i_end, t_fin, feat, depth, hits, nacc = jax.lax.while_loop(
+        cond, body, init)
 
     # Early exit leaves the chunk-(i_end) DMA (prefetched by iteration
     # i_end-1) in flight; drain it to keep semaphores balanced.
@@ -561,9 +622,13 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
     out_ref[0, :, f + 1:f + 2] = depth
     out_ref[0, :, f + 2:f + 3] = hits
     out_ref[0, :, f + 3:f + 4] = t_fin
-    pad = cfg.out_dim - (f + 4)
+    base = f + 4
+    if cfg.compute_normals:
+        out_ref[0, :, base:base + 3] = nacc
+        base += 3
+    pad = cfg.out_dim - base
     if pad > 0:
-        out_ref[0, :, f + 4:] = jnp.zeros((TILE_PIX, pad), jnp.float32)
+        out_ref[0, :, base:] = jnp.zeros((TILE_PIX, pad), jnp.float32)
 
 
 
@@ -745,7 +810,7 @@ def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, phi_rem,
 
     f = cfg.feat_dim
     (w, alpha_eff, hit_t, t_prev, t_out, canonical,
-     sorted_feats) = _chunk_composite(
+     sorted_feats, _normals) = _chunk_composite(
         rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask)
 
     if sorted_feats is not None:
@@ -765,7 +830,7 @@ def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, phi_rem,
     w_const = jax.lax.stop_gradient(w)
 
     def chunk_fn(r):
-        a, ht, canon = chunk_hits_dispatch(r, ray_o, ray_d, cfg)
+        a, ht, canon, _ = chunk_hits_dispatch(r, ray_o, ray_d, cfg)
         in_range = (ht > tmin) & (ht < tmax) & lane_mask
         a = jnp.where(in_range, a, 0.0)
         if cfg.sorted_compositing:
@@ -979,7 +1044,7 @@ def _wmax_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         rec = chunk_buf[slot]
         g0 = (first + i) * CHUNK
         lane_mask = (lane + g0 >= start) & (lane + g0 < end)
-        w, _, _, _, t_out, _, _ = _chunk_composite(
+        w, _, _, _, t_out, _, _, _ = _chunk_composite(
             rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask)
         wrow = jnp.max(w, axis=0, keepdims=True)        # [1, CHUNK]
         wrow = jnp.broadcast_to(wrow, (8, CHUNK))

@@ -120,6 +120,7 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         min_transmittance=raster_cfg.min_transmittance,
         shared_origin=False, feature_mode="constant", feat_dim=3,
         sorted_compositing=True,
+        compute_normals=raster_cfg.enable_normals,
         # every ray block scans the same full particle segment, so the
         # backward accumulates gradients across programs
         shared_segments=True)
@@ -153,9 +154,12 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     out = rasterize_tiles(records, tile_start, tile_count, rays_packed,
                           kcfg, interpret)
     out = out.reshape(n_blocks * TILE_PIX, -1)[:n_rays]
-    return {
+    result = {
         "pred_features": out[:, 0:3].reshape(*lead_shape, 3),
         "pred_opacity": out[:, 3:4].reshape(*lead_shape, 1),
         "pred_dist": out[:, 4:5].reshape(*lead_shape, 1),
         "hits_count": out[:, 5:6].reshape(*lead_shape, 1),
     }
+    if kcfg.compute_normals:
+        result["pred_normals"] = out[:, 7:10].reshape(*lead_shape, 3)
+    return result

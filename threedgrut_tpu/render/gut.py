@@ -184,7 +184,8 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         feature_mode="nht" if nht else "constant",
         feat_dim=feat_dim,
         interp_pt_dim=interp_pt_dim if nht else 12,
-        sorted_compositing=raster_cfg.sorted_compositing and not nht)
+        sorted_compositing=raster_cfg.sorted_compositing and not nht,
+        compute_normals=raster_cfg.enable_normals and not nht)
 
     # pair records (differentiable gather from model params), laid out as
     # [C, record_dim, CHUNK] contiguous chunk blocks for single-DMA
@@ -272,7 +273,7 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
 
     img = unpack_tiles(out, grid, h, w, kcfg.out_dim)
     fd = kcfg.feat_dim
-    return {
+    result = {
         "pred_features": img[..., 0:fd],
         "pred_opacity": img[..., fd:fd + 1],
         "pred_dist": img[..., fd + 1:fd + 2],
@@ -281,3 +282,6 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         "num_pairs": b.num_pairs,
         "pairs_overflow": b.overflow,
     }
+    if kcfg.compute_normals:
+        result["pred_normals"] = img[..., fd + 4:fd + 7]
+    return result

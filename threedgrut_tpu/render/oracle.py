@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..models.gaussians import GaussianState
 from ..ops import ut as ut_ops
 from ..ops.cameras import CameraModel
-from ..ops.hit import density_hit
+from ..ops.hit import density_hit, hit_normal
 from ..ops.sh import eval_sh_radiance
 from ..ops.ut import TILE_X, TILE_Y, UTConfig
 from .common import RasterConfig, camera_rays_world
@@ -69,7 +69,7 @@ def render_oracle(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         ty = py // TILE_Y
 
         def body(carry, i):
-            transmittance, feat, depth, hits = carry
+            transmittance, feat, depth, hits, normal = carry
             in_bbox = ((tx >= lo_o[i, 0]) & (tx < hi_o[i, 0])
                        & (ty >= lo_o[i, 1]) & (ty < hi_o[i, 1]))
             if raster_cfg.tile_culling:
@@ -94,22 +94,28 @@ def render_oracle(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
             feat = feat + weight * feats_o[i]
             depth = depth + weight * hit.hit_t
             hits = hits + (weight > 0.0).astype(jnp.int32)
+            if raster_cfg.enable_normals:
+                n = hit_normal(o, d, positions[i], quats[i], scales[i])
+                normal = normal + weight * n
             transmittance = transmittance * (1.0 - a)
-            return (transmittance, feat, depth, hits), None
+            return (transmittance, feat, depth, hits, normal), None
 
         init = (jnp.asarray(1.0), jnp.zeros(3), jnp.asarray(0.0),
-                jnp.asarray(0, jnp.int32))
-        (transmittance, feat, depth, hits), _ = jax.lax.scan(
+                jnp.asarray(0, jnp.int32), jnp.zeros(3))
+        (transmittance, feat, depth, hits, normal), _ = jax.lax.scan(
             body, init, jnp.arange(positions.shape[0]))
-        return feat, 1.0 - transmittance, depth, hits
+        return feat, 1.0 - transmittance, depth, hits, normal
 
     ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-    feat, alpha, depth, hits = jax.vmap(jax.vmap(render_pixel))(
+    feat, alpha, depth, hits, normal = jax.vmap(jax.vmap(render_pixel))(
         ray_o, ray_d, xs, ys, tmin, tmax)
-    return {
+    out = {
         "pred_features": feat,
         "pred_opacity": alpha[..., None],
         "pred_dist": depth[..., None],
         "hits_count": hits[..., None],
         "mog_visibility": proj.valid,
     }
+    if raster_cfg.enable_normals:
+        out["pred_normals"] = normal
+    return out
