@@ -57,6 +57,10 @@ def main():
         sh_degree = min(trainer.n_active_features, tconf.max_n_features)
 
     os.makedirs(args.out_dir, exist_ok=True)
+    # LPIPS is weight-gated (no egress in this env): computed when VGG16 +
+    # linear-head weights are present ($LPIPS_WEIGHTS), else null
+    from threedgrut_tpu.utils import lpips as lpips_mod
+    lpips_params = lpips_mod.load_weights()
     per_frame = []
     for i in range(len(dataset)):
         batch = dataset[i]
@@ -82,6 +86,10 @@ def main():
              "psnr_cc": float(psnr(cc, gt)),
              "ssim_cc": float(ssim(cc.transpose(2, 0, 1)[None],
                                    gt.transpose(2, 0, 1)[None]))}
+        if lpips_params is not None:
+            m["lpips"] = float(lpips_mod.lpips(
+                lpips_params, pred.transpose(2, 0, 1)[None],
+                gt.transpose(2, 0, 1)[None]))
         per_frame.append(m)
         print(m)
         if args.save_images:

@@ -106,7 +106,7 @@ class TestNHTRender:
 
         def ref(recs):
             r_all = jnp.concatenate([recs[c] for c in range(C)], axis=1)
-            alpha, hit_t, canon = raster.chunk_hits_general(
+            alpha, hit_t, canon, _ = raster.chunk_hits_general(
                 r_all, rays_j[0, :, 0:3], rays_j[0, :, 3:6], cfg,
                 need_canonical=True)
             in_range = ((hit_t > rays_j[0, :, 6:7])

@@ -123,10 +123,15 @@ class ColmapDataset:
     """Loads a COLMAP capture directory (images/ + sparse/0/)."""
 
     def __init__(self, path: str, split: str = "train", downsample: int = 1,
-                 test_split_interval: int = 8, fisheye: bool = False):
+                 test_split_interval: int = 8, fisheye: bool = False,
+                 gsplat_normalize: bool = False,
+                 gsplat_image_downscale: bool = False):
         self.path = path
         self.split = split
         self.downsample = max(int(downsample), 1)
+        self.gsplat_normalize = gsplat_normalize
+        self.gsplat_image_downscale = gsplat_image_downscale
+        self.world_transform = np.eye(4, dtype=np.float32)
         sparse = os.path.join(path, "sparse", "0")
         if not os.path.isdir(sparse):
             sparse = os.path.join(path, "colmap", "sparse", "0")
@@ -158,7 +163,33 @@ class ColmapDataset:
             poses.append(c2w)
         self._poses = np.stack(poses) if poses else np.zeros((0, 4, 4))
 
+        if gsplat_normalize and len(self._poses):
+            # gsplat world normalization (colmap_gsplat.py): poses, sparse
+            # points and scene extent all move to the normalized frame
+            from .colmap_gsplat import normalize_world_space, scene_scale
+            pts, _, _ = read_points3d_bin(self._points_path) \
+                if os.path.exists(self._points_path) else (None, None, None)
+            if pts is not None and len(pts):
+                cams, _, transform = normalize_world_space(
+                    self._poses.astype(np.float64), pts.astype(np.float64))
+                self._poses = cams.astype(np.float32)
+                self.world_transform = transform.astype(np.float32)
+                self._gsplat_extent = scene_scale(self._poses) * 1.1
+
         self._image_dir = self._find_image_dir()
+        self._name_map = None
+        if gsplat_image_downscale:
+            from .colmap_gsplat import (build_downscale_cache,
+                                        sorted_name_mapping)
+            colmap_dir = os.path.join(self.path, "images")
+            if self.downsample > 1 and self._image_dir == colmap_dir:
+                self._image_dir = build_downscale_cache(
+                    colmap_dir,
+                    os.path.join(self.path,
+                                 f"images_{self.downsample}_png"),
+                    self.downsample)
+            self._name_map = sorted_name_mapping(colmap_dir,
+                                                 self._image_dir)
         self._image_cache = {}
 
     def _find_image_dir(self):
@@ -180,6 +211,8 @@ class ColmapDataset:
         return self._poses[:, :3, 3]
 
     def get_scene_extent(self) -> float:
+        if getattr(self, "_gsplat_extent", None) is not None:
+            return self._gsplat_extent
         return compute_scene_extent(self._poses[:, :3, 3])
 
     def get_scene_bbox(self):
@@ -200,7 +233,13 @@ class ColmapDataset:
         return [counts[k] for k in sorted(counts)]
 
     def load_points3d(self):
-        return read_points3d_bin(self._points_path)
+        pts, rgb, err = read_points3d_bin(self._points_path)
+        if self.gsplat_normalize and len(pts):
+            from .colmap_gsplat import transform_points
+            pts = transform_points(
+                self.world_transform.astype(np.float64),
+                pts.astype(np.float64)).astype(np.float32)
+        return pts, rgb, err
 
     # --- intrinsics ---------------------------------------------------
 
@@ -214,6 +253,14 @@ class ColmapDataset:
         s = 1.0 / self.downsample
         w = int(round(cam["width"] * s))
         h = int(round(cam["height"] * s))
+        if self.gsplat_image_downscale and self.downsample > 1:
+            # gsplat parity: intrinsics corrected by the ratio of the
+            # rounded cache size to the floor-divided expected size
+            # (dataset_colmap.py gsplat_image_downscale branches)
+            sx = w / (cam["width"] // self.downsample)
+            sy = h / (cam["height"] // self.downsample)
+        else:
+            sx = sy = 1.0
         model = cam["model"]
         out = dict(model=model, width=w, height=h)
         if model == "SIMPLE_PINHOLE":
@@ -240,6 +287,11 @@ class ColmapDataset:
                        max_angle=np.pi / 2, kind="fisheye")
         else:
             raise NotImplementedError(f"COLMAP camera model {model}")
+        if sx != 1.0 or sy != 1.0:
+            out["fx"] *= sx
+            out["cx"] *= sx
+            out["fy"] *= sy
+            out["cy"] *= sy
         return out
 
     # --- batches --------------------------------------------------------
@@ -248,6 +300,8 @@ class ColmapDataset:
         if index in self._image_cache:
             return self._image_cache[index]
         name = self.items[index]["name"]
+        if self._name_map is not None:
+            name = self._name_map.get(name, name)
         full = os.path.join(self._image_dir, name)
         cam = self.cameras[self.items[index]["camera_id"]]
         tw = int(round(cam["width"] / self.downsample))

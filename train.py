@@ -27,7 +27,11 @@ def make_dataset(conf, split="train"):
         return NeRFDataset(conf.path, split=split, downsample=down,
                            bg_color=conf.model.background.color)
     if dtype == "colmap":
-        return ColmapDataset(conf.path, split=split, downsample=down)
+        return ColmapDataset(
+            conf.path, split=split, downsample=down,
+            gsplat_normalize=conf.dataset.get("gsplat_normalize", False),
+            gsplat_image_downscale=conf.dataset.get(
+                "gsplat_image_downscale", False))
     if dtype == "scannetpp":
         return ScannetppDataset(conf.path, split=split, downsample=down)
     raise ValueError(f"unknown dataset type {dtype}")
