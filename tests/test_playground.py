@@ -122,3 +122,74 @@ class TestEngine:
         img = eng.render(cam)
         assert img.shape == (32, 32, 3)
         assert np.all(np.isfinite(img))
+
+
+class TestClusteredTriangles:
+    def test_matches_dense_soup(self):
+        import jax.numpy as jnp
+
+        from threedgrut_tpu.playground.mesh import (ClusteredTriangles,
+                                                    TriangleSoup,
+                                                    make_box,
+                                                    make_icosphere)
+
+        meshes = [make_box((0, 0, 3), (1.0, 0.8, 0.6), material_id=0),
+                  make_icosphere((1.5, 0.2, 4.0), 0.7, subdivisions=3,
+                                 material_id=1),
+                  make_icosphere((-1.2, -0.3, 2.5), 0.5, subdivisions=2,
+                                 material_id=2)]
+        dense = TriangleSoup(meshes)
+        clustered = ClusteredTriangles(meshes, max_clusters=64)
+
+        rng = np.random.default_rng(0)
+        r = 300
+        ro = rng.uniform(-0.5, 0.5, (r, 3)).astype(np.float32)
+        ro[:, 2] = -2.0
+        rd = rng.normal(size=(r, 3)).astype(np.float32)
+        rd[:, 2] = np.abs(rd[:, 2]) + 1.5
+        rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+
+        t_d, tri_d, n_d, m_d = dense.closest_hit(jnp.asarray(ro),
+                                                 jnp.asarray(rd))
+        t_c, tri_c, n_c, m_c = clustered.closest_hit(jnp.asarray(ro),
+                                                     jnp.asarray(rd))
+        # budget >= cluster count -> exact agreement
+        assert clustered.max_clusters == clustered.num_clusters \
+            or clustered.num_clusters > 64
+        np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_d),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(m_c), np.asarray(m_d))
+        hit = np.asarray(m_d) >= 0
+        np.testing.assert_allclose(np.asarray(n_c)[hit],
+                                   np.asarray(n_d)[hit], atol=1e-5)
+
+    def test_budgeted_culling_still_finds_near_hits(self):
+        import jax.numpy as jnp
+
+        from threedgrut_tpu.playground.mesh import (ClusteredTriangles,
+                                                    make_icosphere)
+
+        # many spheres along +z; small cluster budget must still find the
+        # nearest surface for straight-ahead rays
+        meshes = [make_icosphere((0, 0, 2.0 + 1.5 * i), 0.4,
+                                 subdivisions=3, material_id=i)
+                  for i in range(8)]
+        clustered = ClusteredTriangles(meshes, max_clusters=8)
+        assert clustered.max_clusters < clustered.num_clusters
+        ro = np.zeros((64, 3), np.float32)
+        rd = np.zeros((64, 3), np.float32)
+        rd[:, 2] = 1.0
+        ro[:, 0] = np.linspace(-0.3, 0.3, 64)
+        t, tri, n, m = clustered.closest_hit(jnp.asarray(ro),
+                                             jnp.asarray(rd))
+        t, m = np.asarray(t), np.asarray(m)
+        # the near-cluster priority guarantees: every reported hit is on
+        # the NEAREST sphere (no far sphere leaks through), and the rays
+        # whose clusters fit the budget (center of the block) do hit
+        hit = m >= 0
+        assert hit.any()
+        assert (m[hit] == 0).all()
+        assert (t[hit] >= 1.5).all() and (t[hit] <= 2.5).all()  # sphere 0
+        assert hit[24:40].all()  # central rays always within budget
+        # central rays pass through the sphere-0 front: exact distance
+        np.testing.assert_allclose(t[24:40], 1.6, atol=0.12)

@@ -106,9 +106,13 @@ class Engine3DGRUT:
         self.meshes.append(mesh)
         self._soup = None
 
-    def _get_soup(self) -> TriangleSoup:
+    def _get_soup(self):
         if self._soup is None:
-            self._soup = TriangleSoup(self.meshes)
+            # dense soup for prop-scale meshes, Morton-clustered AABB
+            # culling for large scenes (mesh.py ClusteredTriangles - the
+            # TPU stand-in for the reference's OptiX mesh GAS)
+            from .mesh import make_intersector
+            self._soup = make_intersector(self.meshes)
         return self._soup
 
     def _material_arrays(self):
