@@ -153,6 +153,66 @@ def _row(rec, i):
     return rec[i:i + 1, :]
 
 
+def _stack_rows(pieces, nrows):
+    """Assemble [1,K] rows into a [nrows, K] operand via iota-select
+    (Mosaic rejects sublane concatenates of single-sublane pieces)."""
+    k = pieces[0].shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, k), 0)
+    acc = jnp.zeros((nrows, k), jnp.float32)
+    for i, p in enumerate(pieces):
+        acc = jnp.where(rows == i, jnp.broadcast_to(p, acc.shape), acc)
+    return acc
+
+
+def _fast_operands(rec, ray_d):
+    """Per-particle MXU operands of the shared-origin hit model, derived
+    in-kernel from the 16-row records at [1,K] cost (so the record table,
+    its gather, and the gradient fold stay 16 rows wide):
+
+      N  = [a]x M   (9 rows)  ->  c = a x (M d) = N d      (3 matmuls)
+      p6 = MxM^T M quadratic-form monomial coeffs (6 rows)
+                    -> |M d|^2 = dmono . p6                 (1 matmul)
+      u  = M^T a    (3 rows)  ->  a . (M d) = u . d         (1 matmul)
+
+    replacing the per-(pixel, pair) cross product / norm / dot VPU chains
+    of the b-based path. Conditioning matches the cross-product form: c
+    comes out of the matmul directly at its own magnitude (each c
+    component is the same 2-term difference of O(|a||M|) products the VPU
+    cross product evaluates), not via the cancelling |a|^2|b|^2 - (a.b)^2
+    expansion.
+
+    Returns (n_mat [9+pad, K], p6_mat [8, K], u_mat [8, K],
+             dmono [256, 8]).
+    """
+    ax, ay, az = _row(rec, _GRO), _row(rec, _GRO + 1), _row(rec, _GRO + 2)
+    mr = [[_row(rec, _M + 3 * i + j) for j in range(3)] for i in range(3)]
+    n_rows = []
+    for j in range(3):   # N row 0 = ay*M2 - az*M1
+        n_rows.append(ay * mr[2][j] - az * mr[1][j])
+    for j in range(3):   # N row 1 = az*M0 - ax*M2
+        n_rows.append(az * mr[0][j] - ax * mr[2][j])
+    for j in range(3):   # N row 2 = ax*M1 - ay*M0
+        n_rows.append(ax * mr[1][j] - ay * mr[0][j])
+    n_mat = _stack_rows(n_rows, 16)
+
+    def col_dot(j, l):
+        return (mr[0][j] * mr[0][l] + mr[1][j] * mr[1][l]
+                + mr[2][j] * mr[2][l])
+
+    p6 = [col_dot(0, 0), col_dot(1, 1), col_dot(2, 2),
+          2.0 * col_dot(0, 1), 2.0 * col_dot(0, 2), 2.0 * col_dot(1, 2)]
+    p6_mat = _stack_rows(p6, 8)
+    u = [ax * mr[0][j] + ay * mr[1][j] + az * mr[2][j] for j in range(3)]
+    u_mat = _stack_rows(u, 8)
+
+    dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
+    zero = jnp.zeros_like(dx)
+    dmono = jnp.concatenate(
+        [dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz,
+         zero, zero], axis=1)
+    return n_mat, p6_mat, u_mat, dmono
+
+
 def _alpha_from_response(response, density, cfg: RasterKernelConfig):
     alpha = jnp.minimum(cfg.max_alpha, response * density)
     accept = (response > cfg.min_response) & (alpha > cfg.min_alpha)
@@ -259,6 +319,28 @@ def chunk_hits_fast(rec, ray_d, cfg: RasterKernelConfig,
         return jax.lax.dot_general(ray_d, rec[rows:rows + 3, :],
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
+
+    if not (need_canonical or need_normals):
+        # hot path (constant features): c, |b|^2 and a.b all ride the MXU
+        # against in-kernel-derived per-particle operands; no b, no VPU
+        # cross product (see _fast_operands)
+        n_mat, p6_mat, u_mat, dmono = _fast_operands(rec, ray_d)
+
+        def ddot(op, rows0):
+            return jax.lax.dot_general(ray_d, op[rows0:rows0 + 3, :],
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        cx, cy, cz = ddot(n_mat, 0), ddot(n_mat, 3), ddot(n_mat, 6)
+        m = jax.lax.dot_general(dmono, p6_mat, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        q = ddot(u_mat, 0)
+        inv_m = 1.0 / m
+        sq_dist = (cx * cx + cy * cy + cz * cz) * inv_m
+        response = particle_response(sq_dist, cfg.kernel_degree)
+        alpha = _alpha_from_response(response, _row(rec, cfg.density_row),
+                                     cfg)
+        return alpha, -q * inv_m, None, None
 
     bx = mdot(_M)          # [256,K] = d . M[0,:]
     by = mdot(_M + 3)
@@ -692,18 +774,18 @@ def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     f = cfg.feat_dim
     k = rec.shape[1]
 
-    # --- forward (chunk_hits_fast inlined to expose intermediates) ---
-    def mdot(rows):
-        return jax.lax.dot_general(ray_d, rec[rows:rows + 3, :],
+    # --- forward (chunk_hits_fast MXU path inlined for intermediates) ---
+    n_mat, p6_mat, u_mat, dmono = _fast_operands(rec, ray_d)
+
+    def ddot(op, rows0):
+        return jax.lax.dot_general(ray_d, op[rows0:rows0 + 3, :],
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    bx, by, bz = mdot(_M), mdot(_M + 3), mdot(_M + 6)
-    ax, ay, az = _row(rec, _GRO), _row(rec, _GRO + 1), _row(rec, _GRO + 2)
-    cx = ay * bz - az * by
-    cy = az * bx - ax * bz
-    cz = ax * by - ay * bx
-    m = bx * bx + by * by + bz * bz
+    cx, cy, cz = ddot(n_mat, 0), ddot(n_mat, 3), ddot(n_mat, 6)
+    m = jax.lax.dot_general(dmono, p6_mat, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    q = ddot(u_mat, 0)
     inv_m = 1.0 / m
     c2 = cx * cx + cy * cy + cz * cz
     sq = c2 * inv_m
@@ -711,7 +793,6 @@ def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     dens = _row(rec, cfg.density_row)
     alpha_raw = resp * dens
     alpha = jnp.minimum(cfg.max_alpha, alpha_raw)
-    q = ax * bx + ay * by + az * bz
     hit_t = -q * inv_m
     ok = ((resp > cfg.min_response) & (alpha > cfg.min_alpha)
           & (hit_t > tmin) & (hit_t < tmax) & lane_mask)
@@ -754,39 +835,74 @@ def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     d_cx = 2.0 * d_c2 * cx
     d_cy = 2.0 * d_c2 * cy
     d_cz = 2.0 * d_c2 * cz
-    # c = a x b: d_a = b x d_c ; d_b = d_c x a ; plus q and m terms
-    d_ax = by * d_cz - bz * d_cy + d_q * bx
-    d_ay = bz * d_cx - bx * d_cz + d_q * by
-    d_az = bx * d_cy - by * d_cx + d_q * bz
-    two_dm = 2.0 * d_m
-    d_bx = d_cy * az - d_cz * ay + d_q * ax + two_dm * bx
-    d_by = d_cz * ax - d_cx * az + d_q * ay + two_dm * by
-    d_bz = d_cx * ay - d_cy * ax + d_q * az + two_dm * bz
 
-    # reductions: a/density rows sum over pixels; M rows via ray_d^T @ d_b
-    # (contract the pixel dim of both operands - no explicit transpose,
-    # which Mosaic dislikes for narrow [256,3] tiles)
-    def rdot(db):
-        return jax.lax.dot_general(ray_d, db, (((0,), (0,)), ((), ())),
+    # reductions to the per-particle operands, all MXU contractions over
+    # the pixel dim (no explicit transpose, which Mosaic dislikes for
+    # narrow [256,3] tiles): d_N rows via ray_d^T @ d_c, d_p6 via
+    # dmono^T @ d_m, d_u via ray_d^T @ d_q
+    def rdot(dc):
+        return jax.lax.dot_general(ray_d, dc, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    d_m0, d_m1, d_m2 = rdot(d_bx), rdot(d_by), rdot(d_bz)        # [3,K]
+    d_n0, d_n1, d_n2 = rdot(d_cx), rdot(d_cy), rdot(d_cz)        # [3,K]
+    d_p6 = jax.lax.dot_general(dmono, d_m, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [8,K]
+    d_u = rdot(d_q)                                              # [3,K]
     d_feats = jax.lax.dot_general(
         g_feat, w, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                      # [F,K]
 
+    # per-particle chain back to the 16-row record fields ([1,K] ops):
+    #   N = [a]x M, p6 = quadratic form of M^T M, u = M^T a
+    ax, ay, az = _row(rec, _GRO), _row(rec, _GRO + 1), _row(rec, _GRO + 2)
+    mr = [[_row(rec, _M + 3 * i + j) for j in range(3)]
+          for i in range(3)]
+    dn = [[d_n0[j:j + 1, :] for j in range(3)],
+          [d_n1[j:j + 1, :] for j in range(3)],
+          [d_n2[j:j + 1, :] for j in range(3)]]
+    dp = [d_p6[i:i + 1, :] for i in range(6)]
+    du = [d_u[j:j + 1, :] for j in range(3)]
+
+    d_a = [jnp.zeros_like(ax) for _ in range(3)]
+    d_mr = [[jnp.zeros_like(ax) for _ in range(3)] for _ in range(3)]
+    # N row 0 = ay*M2 - az*M1 ; row 1 = az*M0 - ax*M2 ; row 2 = ax*M1
+    # - ay*M0
+    for j in range(3):
+        d_a[1] += mr[2][j] * dn[0][j]
+        d_a[2] += -mr[1][j] * dn[0][j]
+        d_a[2] += mr[0][j] * dn[1][j]
+        d_a[0] += -mr[2][j] * dn[1][j]
+        d_a[0] += mr[1][j] * dn[2][j]
+        d_a[1] += -mr[0][j] * dn[2][j]
+        d_mr[2][j] += ay * dn[0][j]
+        d_mr[1][j] += -az * dn[0][j]
+        d_mr[0][j] += az * dn[1][j]
+        d_mr[2][j] += -ax * dn[1][j]
+        d_mr[1][j] += ax * dn[2][j]
+        d_mr[0][j] += -ay * dn[2][j]
+    # p6 = [c0.c0, c1.c1, c2.c2, 2c0.c1, 2c0.c2, 2c1.c2] over M columns:
+    # d_M[i,0] = 2(dp0 Mi0 + dp3 Mi1 + dp4 Mi2), etc.
+    for i in range(3):
+        d_mr[i][0] += 2.0 * (dp[0] * mr[i][0] + dp[3] * mr[i][1]
+                             + dp[4] * mr[i][2])
+        d_mr[i][1] += 2.0 * (dp[1] * mr[i][1] + dp[3] * mr[i][0]
+                             + dp[5] * mr[i][2])
+        d_mr[i][2] += 2.0 * (dp[2] * mr[i][2] + dp[4] * mr[i][0]
+                             + dp[5] * mr[i][1])
+    # u_j = sum_i a_i M[i,j]
+    a_rows = (ax, ay, az)
+    for i in range(3):
+        for j in range(3):
+            d_mr[i][j] += a_rows[i] * du[j]
+            d_a[i] += mr[i][j] * du[j]
+
     rows = jax.lax.broadcasted_iota(jnp.int32, (cfg.record_dim, k), 0)
     d_rec = jnp.zeros((cfg.record_dim, k), jnp.float32)
-    d_rec = _rows16_put(d_rec, rows, 0,
-                        jnp.sum(d_ax, axis=0, keepdims=True))
-    d_rec = _rows16_put(d_rec, rows, 1,
-                        jnp.sum(d_ay, axis=0, keepdims=True))
-    d_rec = _rows16_put(d_rec, rows, 2,
-                        jnp.sum(d_az, axis=0, keepdims=True))
     for i in range(3):
-        d_rec = _rows16_put(d_rec, rows, _M + i, d_m0[i:i + 1, :])
-        d_rec = _rows16_put(d_rec, rows, _M + 3 + i, d_m1[i:i + 1, :])
-        d_rec = _rows16_put(d_rec, rows, _M + 6 + i, d_m2[i:i + 1, :])
+        d_rec = _rows16_put(d_rec, rows, _GRO + i, d_a[i])
+    for i in range(3):
+        for j in range(3):
+            d_rec = _rows16_put(d_rec, rows, _M + 3 * i + j, d_mr[i][j])
     d_rec = _rows16_put(d_rec, rows, cfg.density_row,
                         jnp.sum(d_dens_elt, axis=0, keepdims=True))
     for c in range(f):
@@ -949,20 +1065,37 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
             pltpu.make_async_copy(grads_hbm.at[first + i], rmw_buf,
                                   rmw_sem).wait()
 
-        grad_buf[:, :] = jnp.where(accumulate(i), d_rec + rmw_buf[:, :],
+        # double-buffered deferred write: before reusing a grad_buf slot,
+        # wait for the write issued two iterations ago. The loop epilogue
+        # (and the zero-fill path) drains the in-flight tail, so the next
+        # program's boundary-chunk RMW read never races a pending write.
+        @pl.when(i >= 2)
+        def _():
+            pltpu.make_async_copy(grad_buf.at[slot],
+                                  grads_hbm.at[first + i - 2],
+                                  out_sem.at[slot]).wait()
+
+        grad_buf[slot] = jnp.where(accumulate(i), d_rec + rmw_buf[:, :],
                                    d_rec)
-        out_dma = pltpu.make_async_copy(grad_buf, grads_hbm.at[first + i],
-                                        out_sem)
-        out_dma.start()
+        pltpu.make_async_copy(grad_buf.at[slot], grads_hbm.at[first + i],
+                              out_sem.at[slot]).start()
 
         phi_acc = phi_acc + psi_sum
-        out_dma.wait()
         return i + 1, t_out, phi_acc
 
     init = (jnp.asarray(0, jnp.int32),
             jnp.ones((TILE_PIX, 1), jnp.float32),
             jnp.zeros((TILE_PIX, 1), jnp.float32))
     i_end, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # drain the in-flight gradient writes (at most one per slot)
+    def drain(j, _):
+        pltpu.make_async_copy(grad_buf.at[jax.lax.rem(j, 2)],
+                              grads_hbm.at[first + j],
+                              out_sem.at[jax.lax.rem(j, 2)]).wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(i_end - 2, 0), i_end, drain, 0)
 
     # drain the prefetched-but-unconsumed DMA on early exit
     @pl.when((i_end > 0) & (i_end < nchunks))
@@ -977,11 +1110,12 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
 
     @pl.when((i_end < nchunks) & zero_ok)
     def _():
-        grad_buf[:, :] = jnp.zeros_like(grad_buf)
+        grad_buf[0] = jnp.zeros_like(grad_buf[0])
 
         def zbody(i, _):
-            dma = pltpu.make_async_copy(grad_buf, grads_hbm.at[first + i],
-                                        out_sem)
+            dma = pltpu.make_async_copy(grad_buf.at[0],
+                                        grads_hbm.at[first + i],
+                                        out_sem.at[0])
             dma.start()
             dma.wait()
             return 0
@@ -1171,10 +1305,10 @@ def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, cfg.record_dim, CHUNK), jnp.float32),
-            pltpu.VMEM((cfg.record_dim, CHUNK), jnp.float32),
+            pltpu.VMEM((2, cfg.record_dim, CHUNK), jnp.float32),
             pltpu.VMEM((cfg.record_dim, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
