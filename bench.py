@@ -65,7 +65,7 @@ def main():
                        focal=(1.1 * side, 1.1 * side),
                        principal=(side / 2, side / 2))
     ut_cfg = UTConfig()
-    rc = RasterConfig(max_pairs=768 * 1024)
+    rc = RasterConfig(max_pairs=86 * 8192)  # total pre-cull pairs 690,641 for this scene (+2%)
     gt = jnp.asarray(rng.uniform(0, 1, (side, side, 3)).astype(np.float32))
     opt_state = init_adam_state(params_d)
     lrs = {k: jnp.asarray(1e-3, jnp.float32) for k in params_d}

@@ -22,7 +22,10 @@ def main():
     parser.add_argument("--checkpoint", required=True,
                         help=".npz trainer checkpoint or .ply")
     parser.add_argument("--path", required=True, help="dataset path")
-    parser.add_argument("--config-name", default="apps/nerf_synthetic_3dgut")
+    parser.add_argument("--config-name", default=None,
+                        help="config to compose; default: the resolved "
+                             "config embedded in the checkpoint (falls "
+                             "back to apps/nerf_synthetic_3dgut)")
     parser.add_argument("--out-dir", default="./eval")
     parser.add_argument("--save-images", action="store_true")
     parser.add_argument("overrides", nargs="*")
@@ -37,8 +40,19 @@ def main():
     from threedgrut_tpu.train.trainer import camera_from_batch
     from train import make_dataset, make_model
 
-    conf = load_config(args.config_name,
-                       overrides=[f"path={args.path}"] + args.overrides)
+    from threedgrut_tpu.config.loader import config_from_dict
+    overrides = [f"path={args.path}"] + args.overrides
+    embedded = None
+    if args.config_name is None and args.checkpoint.endswith(".npz"):
+        data = np.load(args.checkpoint)
+        if "config_json" in data.files:
+            embedded = json.loads(str(data["config_json"]))
+    if embedded is not None:
+        # checkpoint-driven re-instantiation (reference render.py:107)
+        conf = config_from_dict(embedded, overrides=overrides)
+    else:
+        conf = load_config(args.config_name or "apps/nerf_synthetic_3dgut",
+                           overrides=overrides)
     tconf = to_trainer_config(conf)
     split = "test" if conf.dataset.type == "nerf" else "test"
     dataset = make_dataset(conf, split)

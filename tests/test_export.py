@@ -221,3 +221,73 @@ class TestNormalizingTransform:
         med = np.median(np.linalg.norm(
             centers - np.median(centers, 0), axis=1))
         np.testing.assert_allclose(med, 1.0, rtol=0.15)
+
+
+class TestUsdzContainer:
+    def test_multi_entry_and_add_file(self, tmp_path):
+        import zipfile
+
+        attrs = _rand_attrs()
+        path = str(tmp_path / "pkg.usdz")
+        usd_mod.export_usdz(path, attrs, sh_degree=2)
+        mesh = tmp_path / "proxy.glb"
+        payload = os.urandom(1000)
+        mesh.write_bytes(payload)
+        usd_mod.add_file_to_usdz(path, str(mesh))
+        with zipfile.ZipFile(path) as z:
+            names = z.namelist()
+            # default layer stays first (usdz rule); all entries stored
+            assert names[0] == "model.usda"
+            assert "proxy.glb" in names
+            assert z.read("proxy.glb") == payload
+            for info in z.infolist():
+                assert info.compress_type == zipfile.ZIP_STORED
+                assert info.header_offset + 30 + len(info.filename) \
+                    + len(info.extra) == (z.getinfo(info.filename)
+                                          .header_offset + 30
+                                          + len(info.filename)
+                                          + len(info.extra))
+        # every entry's data offset is 64-byte aligned
+        with zipfile.ZipFile(path) as z:
+            for info in z.infolist():
+                with open(path, "rb") as f:
+                    f.seek(info.header_offset + 26)
+                    import struct
+                    nl, el = struct.unpack("<HH", f.read(4))
+                assert (info.header_offset + 30 + nl + el) % 64 == 0
+        # replacing an existing entry keeps a single copy
+        usd_mod.add_file_to_usdz(path, str(mesh))
+        with zipfile.ZipFile(path) as z:
+            assert z.namelist().count("proxy.glb") == 1
+        back = usd_mod.import_usdz(path)
+        np.testing.assert_allclose(back["positions"], attrs["positions"],
+                                   atol=1e-4)
+
+    def test_half_export(self, tmp_path):
+        attrs = _rand_attrs()
+        path = str(tmp_path / "h.usda")
+        usd_mod.export_usda(path, attrs, sh_degree=2, half=True)
+        back = usd_mod.import_usda(path)
+        np.testing.assert_allclose(back["scales"], attrs["scales"],
+                                   rtol=2e-3, atol=2e-3)
+
+
+class TestTranscodeFormats:
+    def test_usdz_and_checkpoint_paths(self, tmp_path):
+        attrs = _rand_attrs()
+        z = str(tmp_path / "a.usdz")
+        transcode.save_any(z, attrs)
+        back = transcode.load_any(z)
+        np.testing.assert_allclose(back["positions"], attrs["positions"],
+                                   atol=1e-4)
+        # checkpoint .npz -> attrs (trainer layout)
+        raw = transcode.activated_to_raw(attrs)
+        flat = {f"params/{k}": v for k, v in raw.items()}
+        flat["n_active"] = np.asarray(attrs["positions"].shape[0])
+        ck = str(tmp_path / "ckpt.npz")
+        np.savez(ck, **flat)
+        a2 = transcode.load_any(ck)
+        np.testing.assert_allclose(a2["positions"], attrs["positions"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(a2["opacities"], attrs["opacities"],
+                                   atol=1e-5)

@@ -121,6 +121,25 @@ class TestTraining:
         np.testing.assert_allclose(loss_2["total"], loss_ref["total"],
                                    rtol=1e-4)
 
+    def test_checkpoint_embeds_config(self, tmp_path):
+        import json
+
+        from threedgrut_tpu.config.loader import config_from_dict
+
+        tr = make_trainer("gs")
+        tr.raw_conf = {"n_iterations": 42, "render": {"method": "3dgut"},
+                       "path": "x"}
+        path = str(tmp_path / "ckpt.npz")
+        tr.save_checkpoint(path)
+        data = np.load(path)
+        assert "config_json" in data.files
+        emb = json.loads(str(data["config_json"]))
+        conf = config_from_dict(emb, overrides=["path=/other",
+                                                "n_iterations=7"])
+        assert conf.n_iterations == 7
+        assert conf.path == "/other"
+        assert conf.render.method == "3dgut"
+
 
 class TestPPISP:
     def test_ppisp_trains_and_distills(self, tmp_path):

@@ -163,6 +163,12 @@ def load_config(name: str, config_dir: Optional[str] = None,
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), "configs")
     conf = _compose(config_dir, name)
+    _apply_overrides(conf, overrides)
+    conf = _resolve_tree(conf, conf)
+    return ConfigNode.wrap(conf)
+
+
+def _apply_overrides(conf: dict, overrides: Optional[List[str]]):
     for ov in overrides or []:
         if "=" not in ov:
             raise ValueError(f"override '{ov}' must be key=value")
@@ -173,6 +179,16 @@ def load_config(name: str, config_dir: Optional[str] = None,
         for p in parts[:-1]:
             cur = cur.setdefault(p, {})
         cur[parts[-1]] = parsed
+
+
+def config_from_dict(d: dict, overrides: Optional[List[str]] = None
+                     ) -> ConfigNode:
+    """Re-instantiate a resolved config dict (e.g. the one a checkpoint
+    embeds) with optional dotted overrides - the checkpoint-driven eval
+    path of the reference (render.py:107: checkpoints carry the full
+    resolved config and it drives re-instantiation)."""
+    conf = copy.deepcopy(dict(d))
+    _apply_overrides(conf, overrides)
     conf = _resolve_tree(conf, conf)
     return ConfigNode.wrap(conf)
 

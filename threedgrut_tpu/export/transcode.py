@@ -58,12 +58,29 @@ def activated_to_raw(attrs: dict) -> dict:
                 features_specular=sh[:, 1:, :].reshape(n, -1))
 
 
+def load_checkpoint_attrs(path: str) -> dict:
+    """Trainer checkpoint (.npz, see trainer.save_checkpoint) -> attrs."""
+    data = np.load(path)
+    n = int(data["n_active"]) if "n_active" in data else None
+    raw = {k.split("/", 1)[1]: np.asarray(data[k])
+           for k in data.files if k.startswith("params/")
+           and k.count("/") == 1}
+    if n is not None:
+        raw = {k: v[:n] if v.ndim >= 1 and v.shape[0] >= n else v
+               for k, v in raw.items()}
+    return raw_to_activated(raw)
+
+
 def load_any(path: str) -> dict:
     """Load a gaussian asset -> post-activation attrs dict."""
     if path.endswith(".ply"):
         return raw_to_activated(ply_mod.import_ply(path))
     if path.endswith(".usda"):
         return usd_mod.import_usda(path)
+    if path.endswith(".usdz"):
+        return usd_mod.import_usdz(path)
+    if path.endswith(".npz"):
+        return load_checkpoint_attrs(path)
     raise ValueError(f"unsupported input format: {path}")
 
 
@@ -76,6 +93,9 @@ def save_any(path: str, attrs: dict):
         return
     if path.endswith(".usda"):
         usd_mod.export_usda(path, attrs, sh_degree=attrs.get("sh_degree", 3))
+        return
+    if path.endswith(".usdz"):
+        usd_mod.export_usdz(path, attrs, sh_degree=attrs.get("sh_degree", 3))
         return
     raise ValueError(f"unsupported output format: {path}")
 

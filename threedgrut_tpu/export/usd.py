@@ -34,13 +34,21 @@ def export_usda(path: str, attrs: Dict[str, np.ndarray], sh_degree: int,
                 cameras: Optional[List[dict]] = None,
                 background_color: Optional[np.ndarray] = None,
                 sorting_mode_hint: str = "cameraDistance",
-                up_axis: str = "Y"):
+                up_axis: str = "Y", half: bool = False):
     """Write post-activation gaussian attributes as a USDA stage.
 
     attrs: positions [N,3], orientations [N,4] (wxyz, normalized),
     scales [N,3] (post-activation), opacities [N], sh_coefficients
-    [N,K,3].
+    [N,K,3]. ``half`` rounds non-position float attributes to f16
+    (the reference USD exporter's half-precision option; positions stay
+    f32 like the reference keeps point3f).
     """
+    if half:
+        attrs = dict(attrs)
+        for key in ("orientations", "scales", "opacities",
+                    "sh_coefficients"):
+            attrs[key] = np.asarray(attrs[key]).astype(np.float16).astype(
+                np.float32)
     pos = np.asarray(attrs["positions"], np.float32)
     n = pos.shape[0]
     mn, mx = pos.min(0), pos.max(0)
@@ -143,19 +151,70 @@ def import_usda(path: str) -> dict:
                 sh_degree=deg)
 
 
-def export_usdz(path: str, attrs: Dict[str, np.ndarray], sh_degree: int,
-                **kw):
-    """Package the usda stage as a .usdz archive.
+def write_usdz_container(path: str, entries):
+    """Write a .usdz archive from ``entries`` = [(name, bytes), ...].
 
     USDZ is an UNCOMPRESSED zip whose first entry is the default layer
-    with file data 64-byte aligned (the reference ships NuRec .usdz via
-    pxr's UsdZipFileWriter; pxr is unavailable here, so this writes the
-    container directly - any USD runtime can open it since .usda is a
-    first-class layer format)."""
+    with every entry's file data 64-byte aligned (the reference ships
+    NuRec .usdz via pxr's UsdZipFileWriter; pxr is unavailable here, so
+    this writes the container directly - any USD runtime can open it
+    since .usda is a first-class layer format)."""
     import io as _io
     import struct
-    import tempfile
     import zipfile
+
+    buf = _io.BytesIO()
+    records = []          # (name, crc, size, local_header_offset)
+    for name, payload in entries:
+        # local header: 30 bytes + name + extra; pad extra so data
+        # starts at a 64-byte boundary (usdz alignment rule)
+        hdr_off = buf.tell()
+        base = hdr_off + 30 + len(name)
+        pad = (-base) % 64
+        extra = b"\x00" * pad
+        crc = zipfile.crc32(payload) & 0xFFFFFFFF
+        buf.write(struct.pack("<IHHHHHIIIHH", 0x04034B50, 20, 0, 0, 0, 0,
+                              crc, len(payload), len(payload), len(name),
+                              len(extra)))
+        buf.write(name.encode())
+        buf.write(extra)
+        assert buf.tell() % 64 == 0
+        buf.write(payload)
+        records.append((name, crc, len(payload), hdr_off))
+
+    cd_off = buf.tell()
+    for name, crc, size, hdr_off in records:
+        buf.write(struct.pack("<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0,
+                              0, 0, 0, crc, size, size, len(name), 0, 0,
+                              0, 0, 0, hdr_off))
+        buf.write(name.encode())
+    cd_len = buf.tell() - cd_off
+    buf.write(struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, len(records),
+                          len(records), cd_len, cd_off, 0))
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def add_file_to_usdz(usdz_path: str, file_path: str,
+                     entry_name: str = None):
+    """Insert a file (e.g. a .glb/.obj proxy mesh) into an existing usdz
+    archive, preserving the default layer as the first entry (the
+    reference's export/scripts/add_mesh_to_usdz.py)."""
+    import zipfile
+
+    with zipfile.ZipFile(usdz_path) as z:
+        entries = [(n, z.read(n)) for n in z.namelist()]
+    with open(file_path, "rb") as f:
+        payload = f.read()
+    name = entry_name or os.path.basename(file_path)
+    entries = [e for e in entries if e[0] != name] + [(name, payload)]
+    write_usdz_container(usdz_path, entries)
+
+
+def export_usdz(path: str, attrs: Dict[str, np.ndarray], sh_degree: int,
+                **kw):
+    """Package the usda stage as a single-layer .usdz archive."""
+    import tempfile
 
     with tempfile.NamedTemporaryFile("w", suffix=".usda",
                                      delete=False) as tmp:
@@ -166,33 +225,7 @@ def export_usdz(path: str, attrs: Dict[str, np.ndarray], sh_degree: int,
             payload = f.read().encode()
     finally:
         os.unlink(tmp_path)
-
-    name = "model.usda"
-    # local header: 30 bytes + name + extra; pad extra so data starts at a
-    # 64-byte boundary (usdz alignment rule)
-    base = 30 + len(name)
-    pad = (-base) % 64
-    extra = b"\x00" * pad
-    buf = _io.BytesIO()
-    crc = zipfile.crc32(payload) & 0xFFFFFFFF
-    buf.write(struct.pack("<IHHHHHIIIHH", 0x04034B50, 20, 0, 0, 0, 0,
-                          crc, len(payload), len(payload), len(name),
-                          len(extra)))
-    buf.write(name.encode())
-    buf.write(extra)
-    data_off = buf.tell()
-    assert data_off % 64 == 0
-    buf.write(payload)
-    cd_off = buf.tell()
-    buf.write(struct.pack("<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, 0,
-                          0, 0, crc, len(payload), len(payload),
-                          len(name), 0, 0, 0, 0, 0, 0))
-    buf.write(name.encode())
-    cd_len = buf.tell() - cd_off
-    buf.write(struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, 1, 1, cd_len,
-                          cd_off, 0))
-    with open(path, "wb") as f:
-        f.write(buf.getvalue())
+    write_usdz_container(path, [("model.usda", payload)])
 
 
 def import_usdz(path: str) -> dict:

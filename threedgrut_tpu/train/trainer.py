@@ -176,8 +176,12 @@ class Trainer:
 
     def __init__(self, conf: TrainerConfig, dataset, model: GaussianState,
                  val_dataset=None, out_dir: Optional[str] = None,
-                 enable_writer: bool = False):
+                 enable_writer: bool = False, raw_conf: Optional[dict] = None):
         self.conf = conf
+        # full resolved config dict; embedded in checkpoints so eval can
+        # re-instantiate without the original config files (reference
+        # trainer.py:1036-1084 checkpoint contents + render.py:107)
+        self.raw_conf = raw_conf
         self.dataset = dataset
         self.val_dataset = val_dataset
         self.model = model
@@ -812,6 +816,9 @@ class Trainer:
         if self.conf.strategy == "gs":
             flat["gs/grad_accum"] = np.asarray(self.gs_buffers.grad_norm_accum)
             flat["gs/grad_denom"] = np.asarray(self.gs_buffers.grad_norm_denom)
+        if self.raw_conf is not None:
+            import json
+            flat["config_json"] = np.asarray(json.dumps(dict(self.raw_conf)))
         np.savez(path, **flat)
 
     def load_checkpoint(self, path: str):

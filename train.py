@@ -103,7 +103,7 @@ def main():
     tconf = to_trainer_config(conf)
     out_dir = os.path.join(conf.out_dir, conf.experiment_name or "run")
     trainer = Trainer(tconf, dataset, model, val_dataset=val_dataset,
-                      out_dir=out_dir)
+                      out_dir=out_dir, raw_conf=conf)
     if conf.resume:
         trainer.load_checkpoint(conf.resume)
 
