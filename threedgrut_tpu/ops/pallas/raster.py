@@ -630,8 +630,19 @@ def _accumulate_features(rec, w, canonical, hit_feats,
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
-                out_ref, chunk_buf, sem, *, cfg: RasterKernelConfig):
-    t = pl.program_id(0)
+                out_ref, chunk_buf, sem, *, cfg: RasterKernelConfig,
+                tpb: int = 1):
+    # tpb tiles per grid step: amortizes the per-program pipeline cost
+    # (measured ~1.4 us/program, tpu_profile9) over several tiles
+    for sub in range(tpb):
+        _fwd_tile(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
+                  out_ref, chunk_buf, sem, sub=sub, tpb=tpb, cfg=cfg)
+
+
+def _fwd_tile(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
+              out_ref, chunk_buf, sem, *, sub: int, tpb: int,
+              cfg: RasterKernelConfig):
+    t = pl.program_id(0) * tpb + sub
     start = tile_start_ref[t]
     end = start + tile_count_ref[t]
     first = start // CHUNK
@@ -639,10 +650,10 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
                         (end + CHUNK - 1) // CHUNK - first, 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-    ray_o = rays_ref[0, :, 0:3]
-    ray_d = rays_ref[0, :, 3:6]
-    tmin = rays_ref[0, :, 6:7]
-    tmax = rays_ref[0, :, 7:8]
+    ray_o = rays_ref[sub, :, 0:3]
+    ray_d = rays_ref[sub, :, 3:6]
+    tmin = rays_ref[sub, :, 6:7]
+    tmax = rays_ref[sub, :, 7:8]
 
     def get_dma(slot, i):
         return pltpu.make_async_copy(records_hbm.at[first + i],
@@ -699,18 +710,18 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         get_dma(jax.lax.rem(i_end, 2), i_end).wait()
 
     f = cfg.feat_dim
-    out_ref[0, :, 0:f] = feat
-    out_ref[0, :, f:f + 1] = 1.0 - t_fin
-    out_ref[0, :, f + 1:f + 2] = depth
-    out_ref[0, :, f + 2:f + 3] = hits
-    out_ref[0, :, f + 3:f + 4] = t_fin
+    out_ref[sub, :, 0:f] = feat
+    out_ref[sub, :, f:f + 1] = 1.0 - t_fin
+    out_ref[sub, :, f + 1:f + 2] = depth
+    out_ref[sub, :, f + 2:f + 3] = hits
+    out_ref[sub, :, f + 3:f + 4] = t_fin
     base = f + 4
     if cfg.compute_normals:
-        out_ref[0, :, base:base + 3] = nacc
+        out_ref[sub, :, base:base + 3] = nacc
         base += 3
     pad = cfg.out_dim - base
     if pad > 0:
-        out_ref[0, :, base:] = jnp.zeros((TILE_PIX, pad), jnp.float32)
+        out_ref[sub, :, base:] = jnp.zeros((TILE_PIX, pad), jnp.float32)
 
 
 
@@ -981,8 +992,19 @@ def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, phi_rem,
 def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
                 fwd_out_ref, grad_out_ref, grads_hbm,
                 chunk_buf, grad_buf, rmw_buf, sem, out_sem, rmw_sem, *,
-                cfg: RasterKernelConfig):
-    t = pl.program_id(0)
+                cfg: RasterKernelConfig, tpb: int = 1):
+    for sub in range(tpb):
+        _bwd_tile(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
+                  fwd_out_ref, grad_out_ref, grads_hbm, chunk_buf,
+                  grad_buf, rmw_buf, sem, out_sem, rmw_sem, sub=sub,
+                  tpb=tpb, cfg=cfg)
+
+
+def _bwd_tile(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
+              fwd_out_ref, grad_out_ref, grads_hbm,
+              chunk_buf, grad_buf, rmw_buf, sem, out_sem, rmw_sem, *,
+              sub: int, tpb: int, cfg: RasterKernelConfig):
+    t = pl.program_id(0) * tpb + sub
     start = tile_start_ref[t]
     end = start + tile_count_ref[t]
     first = start // CHUNK
@@ -1003,19 +1025,19 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
             return shared_first & (i == 0)
     f = cfg.feat_dim
 
-    ray_o = rays_ref[0, :, 0:3]
-    ray_d = rays_ref[0, :, 3:6]
-    tmin = rays_ref[0, :, 6:7]
-    tmax = rays_ref[0, :, 7:8]
+    ray_o = rays_ref[sub, :, 0:3]
+    ray_d = rays_ref[sub, :, 3:6]
+    tmin = rays_ref[sub, :, 6:7]
+    tmax = rays_ref[sub, :, 7:8]
 
-    feat_total = fwd_out_ref[0, :, 0:f]                # [256,F]
-    depth_total = fwd_out_ref[0, :, f + 1:f + 2]
-    t_final = fwd_out_ref[0, :, f + 3:f + 4]
+    feat_total = fwd_out_ref[sub, :, 0:f]                # [256,F]
+    depth_total = fwd_out_ref[sub, :, f + 1:f + 2]
+    t_final = fwd_out_ref[sub, :, f + 3:f + 4]
 
-    g_feat = grad_out_ref[0, :, 0:f]
+    g_feat = grad_out_ref[sub, :, 0:f]
     # lane f is (1 - T_final), lane f+3 is T_final itself
-    g_t = grad_out_ref[0, :, f + 3:f + 4] - grad_out_ref[0, :, f:f + 1]
-    g_depth = grad_out_ref[0, :, f + 1:f + 2]
+    g_t = grad_out_ref[sub, :, f + 3:f + 4] - grad_out_ref[sub, :, f:f + 1]
+    g_depth = grad_out_ref[sub, :, f + 1:f + 2]
 
     # per-pixel total of psi = w*(<g_feat,f> + g_depth*hitT) over all
     # chunks == <g_feat, feat_total> + g_depth * depth_total
@@ -1259,17 +1281,39 @@ def rasterize_weight_telemetry(records, tile_start, tile_count, rays,
 # host-side wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
+# tiles per grid step (fwd/bwd kernels). MEASURED: 2 does NOT help - the
+# ~1.4 us/program cost is per-TILE intrinsic (out-block writes, scalar
+# reads), not per-grid-step, and the doubled bwd body regressed ~5 ms
+# (scheduling/I-cache). Keep 1; the tpb plumbing stays for future
+# experiments (padding tiles carry count 0 -> body skipped).
+TPB = 1
+
+
+def _pad_tiles(tile_start, tile_count, rays, tpb):
+    t = rays.shape[0]
+    pad = (-t) % tpb
+    if pad:
+        tile_start = jnp.concatenate(
+            [tile_start, jnp.zeros(pad, tile_start.dtype)])
+        tile_count = jnp.concatenate(
+            [tile_count, jnp.zeros(pad, tile_count.dtype)])
+        rays = jnp.pad(rays, ((0, pad), (0, 0), (0, 0)))
+    return tile_start, tile_count, rays, t + pad
+
+
 def _pallas_forward(records, tile_start, tile_count, rays, cfg, interpret):
     num_tiles = rays.shape[0]
+    tile_start, tile_count, rays, tp = _pad_tiles(tile_start, tile_count,
+                                                  rays, TPB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(tp // TPB,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((TPB, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_PIX, cfg.out_dim),
+        out_specs=pl.BlockSpec((TPB, TILE_PIX, cfg.out_dim),
                                lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -1277,29 +1321,36 @@ def _pallas_forward(records, tile_start, tile_count, rays, cfg, interpret):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg=cfg),
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg=cfg, tpb=TPB),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, TILE_PIX, cfg.out_dim),
+        out_shape=jax.ShapeDtypeStruct((tp, TILE_PIX, cfg.out_dim),
                                        jnp.float32),
         interpret=interpret,
     )(tile_start, tile_count, records, rays)
+    return out[:num_tiles]
 
 
 def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
                      grad_out, cfg, interpret):
-    num_tiles = rays.shape[0]
     n_chunks = records.shape[0]
+    num_tiles = rays.shape[0]
+    tile_start, tile_count, rays, tp = _pad_tiles(tile_start, tile_count,
+                                                  rays, TPB)
+    pad = tp - num_tiles
+    if pad:
+        fwd_out = jnp.pad(fwd_out, ((0, pad), (0, 0), (0, 0)))
+        grad_out = jnp.pad(grad_out, ((0, pad), (0, 0), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(tp // TPB,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((TPB, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_PIX, cfg.out_dim),
+            pl.BlockSpec((TPB, TILE_PIX, cfg.out_dim),
                          lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_PIX, cfg.out_dim),
+            pl.BlockSpec((TPB, TILE_PIX, cfg.out_dim),
                          lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -1313,7 +1364,7 @@ def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
         ],
     )
     grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, cfg=cfg),
+        functools.partial(_bwd_kernel, cfg=cfg, tpb=TPB),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_chunks, cfg.record_dim, CHUNK),
                                        jnp.float32),
