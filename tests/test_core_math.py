@@ -204,3 +204,38 @@ class TestCompositing:
         feats = jnp.ones((2, 1))
         f, a, d, h = hit_ops.integrate_hits_scan(alphas, ts, feats, 1e-4)
         assert int(h) == 1  # second hit killed
+
+
+class TestWindowedBitonic:
+    def test_windowed_sort_groups(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+
+        from threedgrut_tpu.ops.pallas.raster import bitonic_sort_by_key
+
+        rng = np.random.default_rng(0)
+        key = rng.normal(size=(8, 256)).astype(np.float32)
+        pay = rng.normal(size=(8, 256)).astype(np.float32)
+
+        for window in (32, 64, 256):
+            def kern(k_ref, p_ref, ok_ref, op_ref):
+                sk, (sp,) = bitonic_sort_by_key(k_ref[...], [p_ref[...]],
+                                                window=window)
+                ok_ref[...] = sk
+                op_ref[...] = sp
+
+            out_k, out_p = pl.pallas_call(
+                kern,
+                out_shape=[jax.ShapeDtypeStruct((8, 256), jnp.float32)] * 2,
+                interpret=True)(jnp.asarray(key), jnp.asarray(pay))
+            out_k, out_p = np.asarray(out_k), np.asarray(out_p)
+            for g0 in range(0, 256, window):
+                sl = slice(g0, g0 + window)
+                order = np.argsort(key[:, sl], axis=1, kind="stable")
+                np.testing.assert_allclose(
+                    out_k[:, sl], np.take_along_axis(key[:, sl], order, 1),
+                    rtol=1e-6, err_msg=f"window={window} keys")
+                np.testing.assert_allclose(
+                    out_p[:, sl], np.take_along_axis(pay[:, sl], order, 1),
+                    rtol=1e-6, err_msg=f"window={window} payload")

@@ -121,6 +121,28 @@ class TestTraining:
         np.testing.assert_allclose(loss_2["total"], loss_ref["total"],
                                    rtol=1e-4)
 
+    def test_pair_budget_autocalibration(self):
+        tr = make_trainer("gs", auto_max_pairs=True,
+                          max_pairs_calibrate_every=100)
+        base = tr._max_pairs
+        # overflow at a calibration step -> budget grows to peak*headroom
+        tr.global_step = 2
+        tr._calibrate_pairs({"pairs": base, "overflow": 5000})
+        assert tr._max_pairs >= base + 5000
+        assert tr._max_pairs % 8192 == 0
+        grown = tr._max_pairs
+        # steady state without overflow: unchanged off-milestone
+        tr.global_step = 3
+        tr._calibrate_pairs({"pairs": 100, "overflow": 0})
+        assert tr._max_pairs == grown
+        # milestone with >2x headroom -> shrink (peak decays across
+        # milestones so earlier spikes age out)
+        tr._peak_pairs = 100
+        tr.global_step = 100
+        tr._calibrate_pairs({"pairs": 100, "overflow": 0})
+        assert tr._max_pairs < grown
+        assert tr._max_pairs >= 8192
+
     def test_checkpoint_embeds_config(self, tmp_path):
         import json
 

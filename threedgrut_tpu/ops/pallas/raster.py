@@ -93,6 +93,11 @@ class RasterKernelConfig(NamedTuple):
     # (the TPU analogue of the reference's k=16 hit buffer,
     # gutKBufferRenderer.cuh:62-112, with a full-chunk=128 window)
     sorted_compositing: bool = False
+    # per-ray ordering window for sorted compositing (power of two
+    # <= CHUNK): each window of depth-consecutive candidates is re-sorted
+    # per ray by hit distance - the analogue of the reference's
+    # k_buffer_size (16). 256 = full-chunk ordering.
+    sort_window: int = 256
     # trace(): every tile scans the SAME full segment, so backward
     # gradients must accumulate across all programs (read-modify-write on
     # every chunk after the first program) instead of the disjoint-segment
@@ -484,22 +489,52 @@ def nht_hit_features(rec, canonical, cfg: RasterKernelConfig):
 
 # --- per-ray chunk sorting (3DGRT ordering semantics) -----------------------
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _roll_lanes(v, shift):
+    """pltpu.roll along lanes with a linear-map VJP (the primitive has no
+    differentiation rule; its transpose is the inverse roll)."""
+    return pltpu.roll(v, shift, axis=1)
+
+
+def _roll_lanes_fwd(v, shift):
+    return _roll_lanes(v, shift), None
+
+
+def _roll_lanes_bwd(shift, _, ct):
+    k = ct.shape[1]
+    return (_roll_lanes(ct, (k - shift) % k),)
+
+
+_roll_lanes.defvjp(_roll_lanes_fwd, _roll_lanes_bwd)
+
+
 def _rotl(v, s):
-    """Left-rotate along the lane axis: out[i] = v[(i + s) mod K]."""
+    """Left-rotate along the lane axis: out[i] = v[(i + s) mod K].
+
+    pltpu.roll lowers to the native lane-rotate; the slice+concatenate
+    formulation costs a full relayout per call (the bitonic network does
+    ~2 rotations x payloads x 36 stages per chunk, so this is hot)."""
     s = s % v.shape[1]
     if s == 0:
         return v
-    return jnp.concatenate([v[:, s:], v[:, :s]], axis=1)
+    return _roll_lanes(v, v.shape[1] - s)
 
 
-def bitonic_sort_by_key(key, payloads):
+def bitonic_sort_by_key(key, payloads, window: Optional[int] = None):
     """Per-row ascending bitonic sort of `key` [256,K], permuting payloads.
 
     Lane-XOR partner exchange is expressed with two rotations per stage
     (i^j == i+j when bit j of i is clear, i-j when set). K must be a power
     of two. Differentiable (selects + rotations are linear in payloads).
+
+    ``window`` (power of two <= K) sorts each window-lane group
+    independently: stage count drops from log2(K)^2 to log2(W)^2 and the
+    XOR partners stay in-group automatically (only bits below log2(W)
+    participate). Groups are depth-consecutive candidates, so a W-window
+    partition sort is the direct analogue of the reference's W-deep
+    k-buffer (gutKBufferRenderer.cuh:62-112, k=16).
     """
-    k_total = key.shape[1]
+    k_total = window or key.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, key.shape, dimension=1)
     k = 2
     while k <= k_total:
@@ -531,6 +566,8 @@ def bitonic_sort_by_key(key, payloads):
 # --- prefix scans along the candidate (lane) axis ---------------------------
 
 def _prefix_product_excl(x):
+    # slice+concat beats roll+select here (measured 17.07 vs 16.75 it/s
+    # end to end): the compiler folds the shifted concat into the multiply
     k = x.shape[1]
     ones = jnp.ones_like(x[:, :1])
     y = jnp.concatenate([ones, x[:, :-1]], axis=1)
@@ -557,7 +594,8 @@ def _cumsum_incl(x):
 
 def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
                      cfg: RasterKernelConfig, lane_mask=None,
-                     need_normals: bool = False):
+                     need_normals: bool = False,
+                     unsort_w: bool = False):
     """One chunk of front-to-back compositing (pixel-major layout).
 
     ``lane_mask`` [1,K] masks candidates outside the tile's raw
@@ -566,6 +604,15 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
     hit_feats, normals): hit_feats is the per-(pair, pixel) feature list
     when the chunk was re-sorted per ray (3DGRT) - downstream must then
     use the sorted feature arrays instead of the record rows.
+
+    ``unsort_w`` (forward kernels only): every downstream accumulation
+    (features, depth, hits, normals, weight telemetry) is a weighted sum
+    - permutation-invariant - so only the transmittance chain needs the
+    sorted domain. Sort just [alpha, lane-index], composite, and permute
+    w back: ``w`` comes back in ORIGINAL lane order (lanes = pair
+    identity, which the telemetry kernel requires), hit_feats stays None
+    (the cheaper unsorted feature matmul applies), and the sort network
+    carries 2 payloads instead of 2+F(+3).
     """
     alpha, hit_t, canonical, normals = chunk_hits_dispatch(
         rec, ray_o, ray_d, cfg, need_normals=need_normals)
@@ -573,6 +620,29 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
     if lane_mask is not None:
         in_range = in_range & lane_mask
     alpha = jnp.where(in_range, alpha, 0.0)
+
+    if cfg.sorted_compositing and unsort_w:
+        if cfg.feature_mode != "constant":
+            raise NotImplementedError("sorted compositing requires "
+                                      "per-particle (constant) features")
+        lane_f = jax.lax.broadcasted_iota(jnp.int32, alpha.shape,
+                                          1).astype(jnp.float32)
+        key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.0e38))
+        _, (a_s, idx_s) = bitonic_sort_by_key(key, [alpha, lane_f],
+                                              window=cfg.sort_window)
+        prefix = _prefix_product_excl(1.0 - a_s)
+        t_prev = t_in * prefix
+        alive = t_prev >= cfg.min_transmittance
+        alpha_eff = jnp.where(alive, a_s, 0.0)
+        w_s = alpha_eff * t_prev
+        dead_vals = jnp.where(alive, -1.0, t_prev)
+        t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
+        t_raw_end = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
+        t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+        _, (w_u,) = bitonic_sort_by_key(idx_s, [w_s],
+                                        window=cfg.sort_window)
+        return (w_u, alpha_eff, hit_t, t_prev, t_out, canonical, None,
+                normals)
 
     hit_feats = None
     if cfg.sorted_compositing:
@@ -587,7 +657,8 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
         norm_list = list(normals) if normals is not None else []
         key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.0e38))
         _, sorted_payloads = bitonic_sort_by_key(
-            key, [alpha, hit_t] + feats + norm_list)
+            key, [alpha, hit_t] + feats + norm_list,
+            window=cfg.sort_window)
         alpha, hit_t = sorted_payloads[0], sorted_payloads[1]
         hit_feats = sorted_payloads[2:2 + cfg.feat_dim]
         if normals is not None:
@@ -682,7 +753,8 @@ def _fwd_tile(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         (w, _, hit_t, _, t_out, canonical, hit_feats,
          normals) = _chunk_composite(
             rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask,
-            need_normals=cfg.compute_normals)
+            need_normals=cfg.compute_normals,
+            unsort_w=cfg.feature_mode == "constant")
         feat = feat + _accumulate_features(rec, w, canonical, hit_feats, cfg)
         depth = depth + jnp.sum(w * hit_t, axis=1, keepdims=True)
         hits = hits + jnp.sum((w > 0.0).astype(jnp.float32), axis=1,
@@ -770,22 +842,9 @@ def _rows16_put(acc, rows_iota, r0, piece_1k):
                      jnp.broadcast_to(piece_1k, acc.shape), acc)
 
 
-def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
-                    g_feat, g_t, g_depth, lane_mask,
-                    cfg: RasterKernelConfig):
-    """Fused forward-recompute + hand-derived backward for the
-    shared-origin / constant-features / unsorted path (the training hot
-    path). One pass computes the chunk_hits_fast intermediates and reuses
-    them for the pullback, replacing jax.vjp's forward replay; the
-    cotangent assembly uses the suffix-sum reformulation (see
-    _suffix_cotangents).
-
-    Returns (d_rec [R,K], t_out [256,1], psi_sum [256,1]).
-    """
-    f = cfg.feat_dim
-    k = rec.shape[1]
-
-    # --- forward (chunk_hits_fast MXU path inlined for intermediates) ---
+def _fast_fwd_vals(rec, ray_d, cfg: RasterKernelConfig):
+    """chunk_hits_fast MXU path inlined to expose intermediates for the
+    hand-derived backward passes."""
     n_mat, p6_mat, u_mat, dmono = _fast_operands(rec, ray_d)
 
     def ddot(op, rows0):
@@ -805,35 +864,18 @@ def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     alpha_raw = resp * dens
     alpha = jnp.minimum(cfg.max_alpha, alpha_raw)
     hit_t = -q * inv_m
-    ok = ((resp > cfg.min_response) & (alpha > cfg.min_alpha)
-          & (hit_t > tmin) & (hit_t < tmax) & lane_mask)
-    alpha = jnp.where(ok, alpha, 0.0)
-    prefix = _prefix_product_excl(1.0 - alpha)
-    t_prev = t_in * prefix
-    alive = t_prev >= cfg.min_transmittance
-    alpha_eff = jnp.where(alive, alpha, 0.0)
-    w = alpha_eff * t_prev
-    dead_vals = jnp.where(alive, -1.0, t_prev)
-    t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
-    t_raw_end = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
-    t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+    return (dmono, cx, cy, cz, q, inv_m, c2, sq, resp, dens, alpha_raw,
+            alpha, hit_t)
 
-    # --- cotangents (single suffix sum; phi via one MXU contraction) ---
-    feats = rec[cfg.feat_offset:cfg.feat_offset + f, :]          # [F,K]
-    phi = jax.lax.dot_general(g_feat, feats, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    u = phi + g_depth * hit_t
-    psi = w * u
-    csum = _cumsum_incl(psi)
-    psi_sum = csum[:, -1:]
-    suffix = phi_rem - csum
-    active = w > 0.0
-    inv_1ma = 1.0 / jnp.maximum(1.0 - alpha_eff, 1e-6)
-    g_alpha = jnp.where(
-        active, t_prev * u - (suffix + g_t * t_final) * inv_1ma, 0.0)
-    g_ht_full = jnp.where(active, g_depth * w, 0.0)
 
-    # --- hand pullback to record rows ---
+def _fast_pullback(rec, ray_d, dmono, cx, cy, cz, q, inv_m, c2, sq, resp,
+                   dens, alpha_raw, g_alpha, g_ht_full, w, g_feat,
+                   cfg: RasterKernelConfig):
+    """Hand pullback of (g_alpha, g_hit_t, feature-sum) cotangents in
+    UNSORTED lane order to the 16-row record fields (see _fast_operands
+    for the forward factorization)."""
+    f = cfg.feat_dim
+    k = rec.shape[1]
     g_eff = jnp.where(alpha_raw < cfg.max_alpha, g_alpha, 0.0)  # min()
     d_resp = g_eff * dens
     d_dens_elt = g_eff * resp
@@ -919,6 +961,120 @@ def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     for c in range(f):
         d_rec = _rows16_put(d_rec, rows, cfg.feat_offset + c,
                             d_feats[c:c + 1, :])
+    return d_rec
+
+
+def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
+                    g_feat, g_t, g_depth, lane_mask,
+                    cfg: RasterKernelConfig):
+    """Fused forward-recompute + hand-derived backward for the
+    shared-origin / constant-features / unsorted path (the training hot
+    path). One pass computes the chunk_hits_fast intermediates and reuses
+    them for the pullback, replacing jax.vjp's forward replay; the
+    cotangent assembly uses the suffix-sum reformulation (see
+    _suffix_cotangents).
+
+    Returns (d_rec [R,K], t_out [256,1], psi_sum [256,1]).
+    """
+    f = cfg.feat_dim
+    (dmono, cx, cy, cz, q, inv_m, c2, sq, resp, dens, alpha_raw, alpha,
+     hit_t) = _fast_fwd_vals(rec, ray_d, cfg)
+    ok = ((resp > cfg.min_response) & (alpha > cfg.min_alpha)
+          & (hit_t > tmin) & (hit_t < tmax) & lane_mask)
+    alpha = jnp.where(ok, alpha, 0.0)
+    prefix = _prefix_product_excl(1.0 - alpha)
+    t_prev = t_in * prefix
+    alive = t_prev >= cfg.min_transmittance
+    alpha_eff = jnp.where(alive, alpha, 0.0)
+    w = alpha_eff * t_prev
+    dead_vals = jnp.where(alive, -1.0, t_prev)
+    t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
+    t_raw_end = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
+    t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+
+    # --- cotangents (single suffix sum; phi via one MXU contraction) ---
+    feats = rec[cfg.feat_offset:cfg.feat_offset + f, :]          # [F,K]
+    phi = jax.lax.dot_general(g_feat, feats, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    u = phi + g_depth * hit_t
+    psi = w * u
+    csum = _cumsum_incl(psi)
+    psi_sum = csum[:, -1:]
+    suffix = phi_rem - csum
+    active = w > 0.0
+    inv_1ma = 1.0 / jnp.maximum(1.0 - alpha_eff, 1e-6)
+    g_alpha = jnp.where(
+        active, t_prev * u - (suffix + g_t * t_final) * inv_1ma, 0.0)
+    g_ht_full = jnp.where(active, g_depth * w, 0.0)
+
+    d_rec = _fast_pullback(rec, ray_d, dmono, cx, cy, cz, q, inv_m, c2,
+                           sq, resp, dens, alpha_raw, g_alpha, g_ht_full,
+                           w, g_feat, cfg)
+    return d_rec, t_out, psi_sum
+
+
+def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
+                           g_feat, g_t, g_depth, lane_mask,
+                           cfg: RasterKernelConfig):
+    """Hand-derived backward for the sorted (3DGRT) shared-origin path.
+
+    Replaces jax.vjp through the bitonic network: compositing cotangents
+    are computed in the SORTED domain (where the transmittance recurrence
+    lives), then permuted back to unsorted lane order with a second
+    windowed sort keyed by the carried original lane indices (window-local
+    sorts keep indices in-group, so sorting by index restores the original
+    order exactly). The hit-math pullback then reuses the unsorted fast
+    path. Features enter via the per-lane contraction phi = <g_feat, f>,
+    which rides the sort as one extra payload instead of F of them.
+
+    Returns (d_rec [R,K], t_out [256,1], psi_sum [256,1]).
+    """
+    f = cfg.feat_dim
+    (dmono, cx, cy, cz, q, inv_m, c2, sq, resp, dens, alpha_raw, alpha,
+     hit_t) = _fast_fwd_vals(rec, ray_d, cfg)
+    ok = ((resp > cfg.min_response) & (alpha > cfg.min_alpha)
+          & (hit_t > tmin) & (hit_t < tmax) & lane_mask)
+    alpha = jnp.where(ok, alpha, 0.0)
+
+    feats = rec[cfg.feat_offset:cfg.feat_offset + f, :]          # [F,K]
+    phi_u = jax.lax.dot_general(g_feat, feats, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, alpha.shape,
+                                      1).astype(jnp.float32)
+    key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.0e38))
+    _, (a_s, ht_s, phi_s, idx_s) = bitonic_sort_by_key(
+        key, [alpha, hit_t, phi_u, lane_f], window=cfg.sort_window)
+
+    # composite + suffix cotangents in sorted order (mirrors the fwd)
+    prefix = _prefix_product_excl(1.0 - a_s)
+    t_prev = t_in * prefix
+    alive = t_prev >= cfg.min_transmittance
+    alpha_eff = jnp.where(alive, a_s, 0.0)
+    w_s = alpha_eff * t_prev
+    dead_vals = jnp.where(alive, -1.0, t_prev)
+    t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
+    t_raw_end = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
+    t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+
+    u = phi_s + g_depth * ht_s
+    psi = w_s * u
+    csum = _cumsum_incl(psi)
+    psi_sum = csum[:, -1:]
+    suffix = phi_rem - csum
+    active = w_s > 0.0
+    inv_1ma = 1.0 / jnp.maximum(1.0 - alpha_eff, 1e-6)
+    g_alpha_s = jnp.where(
+        active, t_prev * u - (suffix + g_t * t_final) * inv_1ma, 0.0)
+    g_ht_s = jnp.where(active, g_depth * w_s, 0.0)
+
+    # un-permute cotangents (and w for the feature gradient) back to the
+    # original lane order
+    _, (g_alpha, g_ht_full, w) = bitonic_sort_by_key(
+        idx_s, [g_alpha_s, g_ht_s, w_s], window=cfg.sort_window)
+
+    d_rec = _fast_pullback(rec, ray_d, dmono, cx, cy, cz, q, inv_m, c2,
+                           sq, resp, dens, alpha_raw, g_alpha, g_ht_full,
+                           w, g_feat, cfg)
     return d_rec, t_out, psi_sum
 
 
@@ -929,11 +1085,11 @@ def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, phi_rem,
 
     Returns (d_rec [R,K], t_out [256,1], psi_sum [256,1]).
     """
-    if (cfg.shared_origin and cfg.feature_mode == "constant"
-            and not cfg.sorted_compositing):
-        return _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_cur, phi_rem,
-                               t_final, g_feat, g_t, g_depth, lane_mask,
-                               cfg)
+    if cfg.shared_origin and cfg.feature_mode == "constant":
+        fn = (_bwd_chunk_fast_sorted if cfg.sorted_compositing
+              else _bwd_chunk_fast)
+        return fn(rec, ray_d, tmin, tmax, t_cur, phi_rem, t_final,
+                  g_feat, g_t, g_depth, lane_mask, cfg)
 
     f = cfg.feat_dim
     (w, alpha_eff, hit_t, t_prev, t_out, canonical,
@@ -965,7 +1121,8 @@ def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, phi_rem,
                                     a.shape) for c in range(f)]
             key = jnp.where(a > 0.0, ht, jnp.float32(3.0e38))
             key = jax.lax.stop_gradient(key)
-            _, sp = bitonic_sort_by_key(key, [a, ht] + fts)
+            _, sp = bitonic_sort_by_key(key, [a, ht] + fts,
+                                        window=cfg.sort_window)
             a, ht = sp[0], sp[1]
             fsum = jnp.concatenate(
                 [jnp.sum(w_const * ff, axis=1, keepdims=True)
@@ -1201,7 +1358,8 @@ def _wmax_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         g0 = (first + i) * CHUNK
         lane_mask = (lane + g0 >= start) & (lane + g0 < end)
         w, _, _, _, t_out, _, _, _ = _chunk_composite(
-            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask)
+            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask,
+            unsort_w=cfg.feature_mode == "constant")
         wrow = jnp.max(w, axis=0, keepdims=True)        # [1, CHUNK]
         wrow = jnp.broadcast_to(wrow, (8, CHUNK))
 
@@ -1369,12 +1527,17 @@ def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
         out_shape=jax.ShapeDtypeStruct((n_chunks, cfg.record_dim, CHUNK),
                                        jnp.float32),
         interpret=interpret,
-        # the sorted (3DGRT) backward vjps through the bitonic network and
-        # needs ~29 MB of stack at CHUNK=256 - above the default 16 MB
-        # scoped-vmem limit but well within the chip's 128 MB VMEM
+        # the general sorted backward (trace(): general geometry or NHT)
+        # vjps through the bitonic network and needs ~29 MB of stack at
+        # CHUNK=256 - above the default 16 MB scoped-vmem limit but well
+        # within the chip's 128 MB VMEM. The shared-origin sorted path
+        # uses the hand-derived _bwd_chunk_fast_sorted instead.
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=(64 << 20) if cfg.sorted_compositing
+            vmem_limit_bytes=(64 << 20) if (
+                cfg.sorted_compositing
+                and not (cfg.shared_origin
+                         and cfg.feature_mode == "constant"))
             else None),
     )(tile_start, tile_count, records, rays, fwd_out, grad_out)
     return grads

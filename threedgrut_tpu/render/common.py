@@ -25,6 +25,11 @@ class RasterConfig:
     # per-ray depth re-sorting of each candidate chunk (3DGRT semantics /
     # k_buffer_size > 0 configs)
     sorted_compositing: bool = struct.field(pytree_node=False, default=False)
+    # ordering window of the per-ray re-sort (power of two <= 256): each
+    # window of depth-consecutive candidates sorts independently - the
+    # analogue of the reference's k_buffer_size=16 depth buffer; 256 =
+    # full-chunk ordering (strictly wider than the reference)
+    sort_window: int = struct.field(pytree_node=False, default=64)
     max_pairs: int = struct.field(pytree_node=False, default=1 << 21)
     # max_pairs must stay a multiple of the kernel CHUNK (128)
     # route param gradients through the particle-order interval fold

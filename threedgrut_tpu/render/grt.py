@@ -140,7 +140,10 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         max_alpha=raster_cfg.max_alpha,
         min_transmittance=raster_cfg.min_transmittance,
         shared_origin=False, feature_mode="constant", feat_dim=3,
-        sorted_compositing=_sorted,
+        # full-chunk ordering for the arbitrary-ray march: the accel
+        # path re-packs clusters, so windows must span the whole chunk
+        # for brute/accel lane-partition agreement
+        sorted_compositing=_sorted, sort_window=CHUNK,
         compute_normals=raster_cfg.enable_normals,
         # brute force: every ray block scans the same full particle
         # segment -> backward accumulates across programs. accelerated:

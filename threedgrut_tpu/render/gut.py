@@ -185,6 +185,7 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         feat_dim=feat_dim,
         interp_pt_dim=interp_pt_dim if nht else 12,
         sorted_compositing=raster_cfg.sorted_compositing and not nht,
+        sort_window=raster_cfg.sort_window,
         compute_normals=raster_cfg.enable_normals and not nht)
 
     # pair records (differentiable gather from model params), laid out as
