@@ -1039,11 +1039,15 @@ def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     feats = rec[cfg.feat_offset:cfg.feat_offset + f, :]          # [F,K]
     phi_u = jax.lax.dot_general(g_feat, feats, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+    # pre-contract the per-hit scalar u = <g_feat,f> + g_depth*hitT so it
+    # rides the sort as ONE payload (phi and hit_t are only ever used
+    # through u in the sorted domain)
+    u_u = phi_u + g_depth * hit_t
     lane_f = jax.lax.broadcasted_iota(jnp.int32, alpha.shape,
                                       1).astype(jnp.float32)
     key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.0e38))
-    _, (a_s, ht_s, phi_s, idx_s) = bitonic_sort_by_key(
-        key, [alpha, hit_t, phi_u, lane_f], window=cfg.sort_window)
+    _, (a_s, u_s, idx_s) = bitonic_sort_by_key(
+        key, [alpha, u_u, lane_f], window=cfg.sort_window)
 
     # composite + suffix cotangents in sorted order (mirrors the fwd)
     prefix = _prefix_product_excl(1.0 - a_s)
@@ -1056,21 +1060,20 @@ def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     t_raw_end = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
     t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
 
-    u = phi_s + g_depth * ht_s
-    psi = w_s * u
+    psi = w_s * u_s
     csum = _cumsum_incl(psi)
     psi_sum = csum[:, -1:]
     suffix = phi_rem - csum
     active = w_s > 0.0
     inv_1ma = 1.0 / jnp.maximum(1.0 - alpha_eff, 1e-6)
     g_alpha_s = jnp.where(
-        active, t_prev * u - (suffix + g_t * t_final) * inv_1ma, 0.0)
-    g_ht_s = jnp.where(active, g_depth * w_s, 0.0)
+        active, t_prev * u_s - (suffix + g_t * t_final) * inv_1ma, 0.0)
 
-    # un-permute cotangents (and w for the feature gradient) back to the
-    # original lane order
-    _, (g_alpha, g_ht_full, w) = bitonic_sort_by_key(
-        idx_s, [g_alpha_s, g_ht_s, w_s], window=cfg.sort_window)
+    # un-permute cotangents back to the original lane order; the hitT
+    # cotangent g_depth*w needs only the un-permuted w
+    _, (g_alpha, w) = bitonic_sort_by_key(
+        idx_s, [g_alpha_s, w_s], window=cfg.sort_window)
+    g_ht_full = jnp.where(w > 0.0, g_depth * w, 0.0)
 
     d_rec = _fast_pullback(rec, ray_d, dmono, cx, cy, cz, q, inv_m, c2,
                            sq, resp, dens, alpha_raw, g_alpha, g_ht_full,
