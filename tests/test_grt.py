@@ -15,12 +15,27 @@ UT = UTConfig()
 RC = RasterConfig(max_pairs=1 << 13)
 
 
+def _run_bitonic(key, payload):
+    """Run the sort inside interpret-mode pallas (pltpu.roll has no eager
+    impl outside a kernel - production only ever sorts in-kernel)."""
+    from jax.experimental import pallas as pl
+
+    def kern(k_ref, p_ref, ok_ref, op_ref):
+        sk, (sp,) = bitonic_sort_by_key(k_ref[...], [p_ref[...]])
+        ok_ref[...] = sk
+        op_ref[...] = sp
+
+    return pl.pallas_call(
+        kern, out_shape=[jax.ShapeDtypeStruct(key.shape, key.dtype)] * 2,
+        interpret=True)(key, payload)
+
+
 class TestBitonicSort:
     def test_sorts_keys(self):
         rng = np.random.default_rng(0)
         key = jnp.asarray(rng.normal(size=(16, 128)).astype(np.float32))
         payload = jnp.asarray(rng.normal(size=(16, 128)).astype(np.float32))
-        skey, (spay,) = bitonic_sort_by_key(key, [payload])
+        skey, spay = _run_bitonic(key, payload)
         k = np.asarray(skey)
         assert np.all(np.diff(k, axis=1) >= 0), "keys not sorted"
         # payload permuted consistently: sums preserved per row
@@ -32,7 +47,7 @@ class TestBitonicSort:
         key = jnp.asarray([[3.0, 1.0, 4.0, 2.0] + list(range(5, 129))],
                           jnp.float32)
         pay = key * 10.0
-        skey, (spay,) = bitonic_sort_by_key(key, [pay])
+        skey, spay = _run_bitonic(key, pay)
         np.testing.assert_allclose(np.asarray(spay), np.asarray(skey) * 10,
                                    atol=1e-5)
 
