@@ -697,103 +697,188 @@ def _accumulate_features(rec, w, canonical, hit_feats,
 
 
 # ---------------------------------------------------------------------------
-# forward kernel
+# chunk-residency DMA machinery (shared by the strip kernels)
+# ---------------------------------------------------------------------------
+#
+# Tiles are processed in strips of STRIP consecutive tiles per grid
+# program; consecutive tiles own adjacent raw [start, end) segments of
+# the tile-sorted pair list, so a tile's first chunk is usually the
+# previous tile's last chunk. Chunk DMAs target the parity slot
+# (global_chunk_id % 2) and two SMEM scalars per slot track which chunk
+# is resident / in flight, so shared boundary chunks are never
+# re-fetched. The SMEM state (and VMEM chunk buffer) persists across
+# sequential grid steps on TPU, which also makes the prefetch of the
+# next strip's first chunk free.
+
+
+def _mk_chunk_fetch(records_hbm, chunk_buf, sem, res_ref, inf_ref):
+    """Residency-tracked double-buffered chunk reader.
+
+    res_ref/inf_ref: SMEM (2,) int32 — global chunk id resident in /
+    in flight toward each parity slot, -1 when none.
+    """
+
+    def dma(slot, g):
+        return pltpu.make_async_copy(records_hbm.at[g], chunk_buf.at[slot],
+                                     sem.at[slot])
+
+    def start_fetch(g):
+        slot = jax.lax.rem(g, 2)
+        pending = inf_ref[slot]
+
+        # retire a stale in-flight DMA before reusing the slot
+        @pl.when((pending >= 0) & (pending != g))
+        def _():
+            dma(slot, pending).wait()
+            res_ref[slot] = pending
+            inf_ref[slot] = -1
+
+        @pl.when((res_ref[slot] != g) & (inf_ref[slot] != g))
+        def _():
+            dma(slot, g).start()
+            inf_ref[slot] = g
+
+    def wait_ready(g):
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(inf_ref[slot] == g)
+        def _():
+            dma(slot, g).wait()
+            res_ref[slot] = g
+            inf_ref[slot] = -1
+
+    def drain():
+        for slot in range(2):
+            pending = inf_ref[slot]
+
+            @pl.when(pending >= 0)
+            def _():
+                dma(slot, pending).wait()
+                res_ref[slot] = pending
+                inf_ref[slot] = -1
+
+    return start_fetch, wait_ready, drain
+
+
+def _prefetch_next_tile(t, tp, tile_start_ref, tile_count_ref, start_fetch):
+    """Start the DMA for tile t+1's first chunk (if any) while the
+    current tile's outputs are written — hides the first-chunk latency
+    that a fresh tile would otherwise expose."""
+    @pl.when(t + 1 < tp)
+    def _():
+        nstart = tile_start_ref[t + 1]
+        ncount = tile_count_ref[t + 1]
+
+        @pl.when(ncount > 0)
+        def _():
+            start_fetch(nstart // CHUNK)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel (strip-of-tiles per program)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
-                out_ref, chunk_buf, sem, *, cfg: RasterKernelConfig,
-                tpb: int = 1):
-    # tpb tiles per grid step: amortizes the per-program pipeline cost
-    # (measured ~1.4 us/program, tpu_profile9) over several tiles
-    for sub in range(tpb):
-        _fwd_tile(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
-                  out_ref, chunk_buf, sem, sub=sub, tpb=tpb, cfg=cfg)
+def _fwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
+                      out_ref, chunk_buf, sem, res_ref, inf_ref, *,
+                      cfg: RasterKernelConfig, strip: int, tp: int):
+    prog = pl.program_id(0)
 
+    @pl.when(prog == 0)
+    def _():
+        for slot in range(2):
+            res_ref[slot] = -1
+            inf_ref[slot] = -1
 
-def _fwd_tile(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
-              out_ref, chunk_buf, sem, *, sub: int, tpb: int,
-              cfg: RasterKernelConfig):
-    t = pl.program_id(0) * tpb + sub
-    start = tile_start_ref[t]
-    end = start + tile_count_ref[t]
-    first = start // CHUNK
-    nchunks = jnp.where(end > start,
-                        (end + CHUNK - 1) // CHUNK - first, 0)
+    start_fetch, wait_ready, drain = _mk_chunk_fetch(
+        records_hbm, chunk_buf, sem, res_ref, inf_ref)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-
-    ray_o = rays_ref[sub, :, 0:3]
-    ray_d = rays_ref[sub, :, 3:6]
-    tmin = rays_ref[sub, :, 6:7]
-    tmax = rays_ref[sub, :, 7:8]
-
-    def get_dma(slot, i):
-        return pltpu.make_async_copy(records_hbm.at[first + i],
-                                     chunk_buf.at[slot], sem.at[slot])
-
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0, 0).start()
-
-    def cond(state):
-        i, t_cur = state[0], state[1]
-        return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
-
-    def body(state):
-        i, t_cur, feat, depth, hits, nacc = state
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < nchunks)
-        def _():
-            get_dma(1 - slot, i + 1).start()
-
-        get_dma(slot, i).wait()
-        rec = chunk_buf[slot]
-        g0 = (first + i) * CHUNK
-        lane_mask = (lane + g0 >= start) & (lane + g0 < end)
-        (w, _, hit_t, _, t_out, canonical, hit_feats,
-         normals) = _chunk_composite(
-            rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask,
-            need_normals=cfg.compute_normals,
-            unsort_w=cfg.feature_mode == "constant")
-        feat = feat + _accumulate_features(rec, w, canonical, hit_feats, cfg)
-        depth = depth + jnp.sum(w * hit_t, axis=1, keepdims=True)
-        hits = hits + jnp.sum((w > 0.0).astype(jnp.float32), axis=1,
-                              keepdims=True)
-        if cfg.compute_normals:
-            nacc = nacc + jnp.concatenate(
-                [jnp.sum(w * nc, axis=1, keepdims=True) for nc in normals],
-                axis=1)
-        return i + 1, t_out, feat, depth, hits, nacc
-
-    n_cols = 3 if cfg.compute_normals else 1  # dummy col when disabled
-    init = (jnp.asarray(0, jnp.int32),
-            jnp.ones((TILE_PIX, 1), jnp.float32),
-            jnp.zeros((TILE_PIX, cfg.feat_dim), jnp.float32),
-            jnp.zeros((TILE_PIX, 1), jnp.float32),
-            jnp.zeros((TILE_PIX, 1), jnp.float32),
-            jnp.zeros((TILE_PIX, n_cols), jnp.float32))
-    i_end, t_fin, feat, depth, hits, nacc = jax.lax.while_loop(
-        cond, body, init)
-
-    # Early exit leaves the chunk-(i_end) DMA (prefetched by iteration
-    # i_end-1) in flight; drain it to keep semaphores balanced.
-    @pl.when((i_end > 0) & (i_end < nchunks))
-    def _():
-        get_dma(jax.lax.rem(i_end, 2), i_end).wait()
-
     f = cfg.feat_dim
-    out_ref[sub, :, 0:f] = feat
-    out_ref[sub, :, f:f + 1] = 1.0 - t_fin
-    out_ref[sub, :, f + 1:f + 2] = depth
-    out_ref[sub, :, f + 2:f + 3] = hits
-    out_ref[sub, :, f + 3:f + 4] = t_fin
-    base = f + 4
-    if cfg.compute_normals:
-        out_ref[sub, :, base:base + 3] = nacc
-        base += 3
-    pad = cfg.out_dim - base
-    if pad > 0:
-        out_ref[sub, :, base:] = jnp.zeros((TILE_PIX, pad), jnp.float32)
+
+    def tile_body(s, _):
+        t = prog * strip + s
+        start = tile_start_ref[t]
+        end = start + tile_count_ref[t]
+        first = start // CHUNK
+        nchunks = jnp.where(end > start,
+                            (end + CHUNK - 1) // CHUNK - first, 0)
+
+        ray_o = rays_ref[s, :, 0:3]
+        ray_d = rays_ref[s, :, 3:6]
+        tmin = rays_ref[s, :, 6:7]
+        tmax = rays_ref[s, :, 7:8]
+
+        @pl.when(nchunks > 0)
+        def _():
+            start_fetch(first)
+
+        def cond(state):
+            i, t_cur = state[0], state[1]
+            return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
+
+        def body(state):
+            i, t_cur, feat, depth, hits, nacc = state
+            g = first + i
+
+            @pl.when(i + 1 < nchunks)
+            def _():
+                start_fetch(g + 1)
+
+            wait_ready(g)
+            rec = chunk_buf[jax.lax.rem(g, 2)]
+            g0 = g * CHUNK
+            lane_mask = (lane + g0 >= start) & (lane + g0 < end)
+            (w, _, hit_t, _, t_out, canonical, hit_feats,
+             normals) = _chunk_composite(
+                rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask,
+                need_normals=cfg.compute_normals,
+                unsort_w=cfg.feature_mode == "constant")
+            feat = feat + _accumulate_features(rec, w, canonical, hit_feats,
+                                               cfg)
+            depth = depth + jnp.sum(w * hit_t, axis=1, keepdims=True)
+            hits = hits + jnp.sum((w > 0.0).astype(jnp.float32), axis=1,
+                                  keepdims=True)
+            if cfg.compute_normals:
+                nacc = nacc + jnp.concatenate(
+                    [jnp.sum(w * nc, axis=1, keepdims=True)
+                     for nc in normals], axis=1)
+            return i + 1, t_out, feat, depth, hits, nacc
+
+        n_cols = 3 if cfg.compute_normals else 1  # dummy col when disabled
+        init = (jnp.asarray(0, jnp.int32),
+                jnp.ones((TILE_PIX, 1), jnp.float32),
+                jnp.zeros((TILE_PIX, cfg.feat_dim), jnp.float32),
+                jnp.zeros((TILE_PIX, 1), jnp.float32),
+                jnp.zeros((TILE_PIX, 1), jnp.float32),
+                jnp.zeros((TILE_PIX, n_cols), jnp.float32))
+        _, t_fin, feat, depth, hits, nacc = jax.lax.while_loop(
+            cond, body, init)
+        # no early-exit drain: an in-flight prefetch stays tracked in
+        # inf_ref and is retired by the next start_fetch or the final
+        # drain()
+
+        _prefetch_next_tile(t, tp, tile_start_ref, tile_count_ref,
+                            start_fetch)
+
+        out_ref[s, :, 0:f] = feat
+        out_ref[s, :, f:f + 1] = 1.0 - t_fin
+        out_ref[s, :, f + 1:f + 2] = depth
+        out_ref[s, :, f + 2:f + 3] = hits
+        out_ref[s, :, f + 3:f + 4] = t_fin
+        base = f + 4
+        if cfg.compute_normals:
+            out_ref[s, :, base:base + 3] = nacc
+            base += 3
+        pad = cfg.out_dim - base
+        if pad > 0:
+            out_ref[s, :, base:] = jnp.zeros((TILE_PIX, pad), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, strip, tile_body, 0)
+    # keep DMAs tracked across programs (scratch + semaphores persist on
+    # the sequential TPU grid); the final program drains everything
+    @pl.when(prog == pl.num_programs(0) - 1)
+    def _():
+        drain()
 
 
 
@@ -1146,163 +1231,222 @@ def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, phi_rem,
 
 
 # ---------------------------------------------------------------------------
-# backward kernel
+# backward kernel (strip-of-tiles per program)
 # ---------------------------------------------------------------------------
+#
+# Gradient accumulation across tiles sharing a boundary chunk happens in
+# VMEM: each parity slot of grad_buf holds the d_rec of the most recent
+# chunk as a *pending* write (pend_ref), and a revisit of the same chunk
+# by the next tile adds into it instead of the old HBM read-modify-write.
+# A pending chunk is flushed (async write) as soon as a DIFFERENT chunk
+# claims its slot — started before the visit's math so the write hides
+# under compute — and the only HBM read-back left is the first visited
+# chunk of the whole kernel... of each *strip chain start*, handled via
+# rmw_ref (strips continue each other: state persists across programs,
+# so in practice only the very first visit of the grid ever reads back;
+# the flag exists to keep the scheme correct under that single case).
 
-def _bwd_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
-                fwd_out_ref, grad_out_ref, grads_hbm,
-                chunk_buf, grad_buf, rmw_buf, sem, out_sem, rmw_sem, *,
-                cfg: RasterKernelConfig, tpb: int = 1):
-    for sub in range(tpb):
-        _bwd_tile(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
-                  fwd_out_ref, grad_out_ref, grads_hbm, chunk_buf,
-                  grad_buf, rmw_buf, sem, out_sem, rmw_sem, sub=sub,
-                  tpb=tpb, cfg=cfg)
 
+def _bwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
+                      fwd_out_ref, grad_out_ref, grads_hbm,
+                      chunk_buf, grad_buf, rmw_buf, sem, out_sem, rmw_sem,
+                      res_ref, inf_ref, pend_ref, wfl_ref, *,
+                      cfg: RasterKernelConfig, strip: int, tp: int):
+    prog = pl.program_id(0)
 
-def _bwd_tile(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
-              fwd_out_ref, grad_out_ref, grads_hbm,
-              chunk_buf, grad_buf, rmw_buf, sem, out_sem, rmw_sem, *,
-              sub: int, tpb: int, cfg: RasterKernelConfig):
-    t = pl.program_id(0) * tpb + sub
-    start = tile_start_ref[t]
-    end = start + tile_count_ref[t]
-    first = start // CHUNK
-    nchunks = jnp.where(end > start,
-                        (end + CHUNK - 1) // CHUNK - first, 0)
+    @pl.when(prog == 0)
+    def _():
+        for slot in range(2):
+            res_ref[slot] = -1
+            inf_ref[slot] = -1
+            pend_ref[slot] = -1
+            wfl_ref[slot] = -1
+
+    start_fetch, wait_ready, drain = _mk_chunk_fetch(
+        records_hbm, chunk_buf, sem, res_ref, inf_ref)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    # the first chunk may be shared with the previous tile's range: its
-    # gradients must accumulate (sequential grid -> race-free). In
-    # shared_segments mode every program after the first accumulates every
-    # chunk.
-    if cfg.shared_segments:
-        def accumulate(i):
-            return t > 0
-    else:
-        shared_first = jax.lax.rem(start, CHUNK) != 0
-
-        def accumulate(i):
-            return shared_first & (i == 0)
     f = cfg.feat_dim
 
-    ray_o = rays_ref[sub, :, 0:3]
-    ray_d = rays_ref[sub, :, 3:6]
-    tmin = rays_ref[sub, :, 6:7]
-    tmax = rays_ref[sub, :, 7:8]
+    def out_dma(slot, g):
+        return pltpu.make_async_copy(grad_buf.at[slot], grads_hbm.at[g],
+                                     out_sem.at[slot])
 
-    feat_total = fwd_out_ref[sub, :, 0:f]                # [256,F]
-    depth_total = fwd_out_ref[sub, :, f + 1:f + 2]
-    t_final = fwd_out_ref[sub, :, f + 3:f + 4]
+    def claim_slot(g):
+        """Flush a pending different-chunk write out of g's parity slot.
+        Returns accum_same (pending already holds chunk g)."""
+        slot = jax.lax.rem(g, 2)
+        pending = pend_ref[slot]
+        accum_same = pending == g
 
-    g_feat = grad_out_ref[sub, :, 0:f]
-    # lane f is (1 - T_final), lane f+3 is T_final itself
-    g_t = grad_out_ref[sub, :, f + 3:f + 4] - grad_out_ref[sub, :, f:f + 1]
-    g_depth = grad_out_ref[sub, :, f + 1:f + 2]
-
-    # per-pixel total of psi = w*(<g_feat,f> + g_depth*hitT) over all
-    # chunks == <g_feat, feat_total> + g_depth * depth_total
-    phi_total = (jnp.sum(g_feat * feat_total, axis=1, keepdims=True)
-                 + g_depth * depth_total)
-
-    def get_dma(slot, i):
-        return pltpu.make_async_copy(records_hbm.at[first + i],
-                                     chunk_buf.at[slot], sem.at[slot])
-
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0, 0).start()
-
-    def cond(state):
-        i, t_cur, _ = state
-        # early exit once every ray is dead: remaining chunks contribute
-        # exactly zero gradient (w == 0 under the kill mask) and are
-        # zero-filled after the loop
-        return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
-
-    def body(state):
-        i, t_cur, phi_acc = state
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < nchunks)
+        @pl.when((pending >= 0) & ~accum_same)
         def _():
-            get_dma(1 - slot, i + 1).start()
+            # retire the previous write on this slot before reusing the
+            # semaphore (it finished long ago)
+            @pl.when(wfl_ref[slot] >= 0)
+            def _():
+                out_dma(slot, wfl_ref[slot]).wait()
 
-        get_dma(slot, i).wait()
+            out_dma(slot, pending).start()
+            wfl_ref[slot] = pending
+            pend_ref[slot] = -1
 
-        # read-modify-write setup for an accumulated chunk
-        @pl.when(accumulate(i))
+        return accum_same
+
+    def commit_slot(g, accum_same, d_rec):
+        """Store/accumulate d_rec as chunk g's pending value."""
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(accum_same)
         def _():
-            pltpu.make_async_copy(grads_hbm.at[first + i], rmw_buf,
-                                  rmw_sem).start()
+            grad_buf[slot] = grad_buf[slot] + d_rec
 
-        rec = chunk_buf[slot]
-        g0 = (first + i) * CHUNK
-        lane_mask = (lane + g0 >= start) & (lane + g0 < end)
-        d_rec, t_out, psi_sum = _bwd_chunk_grads(
-            rec, ray_o, ray_d, tmin, tmax, t_cur, phi_total - phi_acc,
-            t_final, g_feat, g_t, g_depth, lane_mask, cfg)
-
-        @pl.when(accumulate(i))
+        @pl.when(~accum_same)
         def _():
-            pltpu.make_async_copy(grads_hbm.at[first + i], rmw_buf,
-                                  rmw_sem).wait()
+            # the flush started in claim_slot reads grad_buf[slot]; it
+            # ran during the visit's math — wait before overwriting
+            @pl.when(wfl_ref[slot] >= 0)
+            def _():
+                out_dma(slot, wfl_ref[slot]).wait()
+                wfl_ref[slot] = -1
 
-        # double-buffered deferred write: before reusing a grad_buf slot,
-        # wait for the write issued two iterations ago. The loop epilogue
-        # (and the zero-fill path) drains the in-flight tail, so the next
-        # program's boundary-chunk RMW read never races a pending write.
-        @pl.when(i >= 2)
+            grad_buf[slot] = d_rec
+            pend_ref[slot] = g
+
+    if cfg.shared_segments:
+        # trace() API: every tile scans the SAME segment, so chunk g's
+        # total gradient is the sum over ALL tiles. The in-VMEM pending
+        # accumulation only merges *consecutive* same-chunk visits, so
+        # here every non-merged visit re-reads HBM (tiles after the
+        # first) — the strip driver then must run with strip == 1 per
+        # visit ordering identical to the per-tile kernel. Enforced by
+        # the host wrapper choosing strip=1 for shared_segments.
+        assert strip == 1, "shared_segments requires strip=1"
+
+    def tile_body(s, _):
+        t = prog * strip + s
+        start = tile_start_ref[t]
+        end = start + tile_count_ref[t]
+        first = start // CHUNK
+        nchunks = jnp.where(end > start,
+                            (end + CHUNK - 1) // CHUNK - first, 0)
+
+        ray_o = rays_ref[s, :, 0:3]
+        ray_d = rays_ref[s, :, 3:6]
+        tmin = rays_ref[s, :, 6:7]
+        tmax = rays_ref[s, :, 7:8]
+
+        feat_total = fwd_out_ref[s, :, 0:f]                # [256,F]
+        depth_total = fwd_out_ref[s, :, f + 1:f + 2]
+        t_final = fwd_out_ref[s, :, f + 3:f + 4]
+
+        g_feat = grad_out_ref[s, :, 0:f]
+        # lane f is (1 - T_final), lane f+3 is T_final itself
+        g_t = (grad_out_ref[s, :, f + 3:f + 4]
+               - grad_out_ref[s, :, f:f + 1])
+        g_depth = grad_out_ref[s, :, f + 1:f + 2]
+
+        # per-pixel total of psi = w*(<g_feat,f> + g_depth*hitT) over all
+        # chunks == <g_feat, feat_total> + g_depth * depth_total
+        phi_total = (jnp.sum(g_feat * feat_total, axis=1, keepdims=True)
+                     + g_depth * depth_total)
+
+        @pl.when(nchunks > 0)
         def _():
-            pltpu.make_async_copy(grad_buf.at[slot],
-                                  grads_hbm.at[first + i - 2],
-                                  out_sem.at[slot]).wait()
+            start_fetch(first)
 
-        grad_buf[slot] = jnp.where(accumulate(i), d_rec + rmw_buf[:, :],
-                                   d_rec)
-        pltpu.make_async_copy(grad_buf.at[slot], grads_hbm.at[first + i],
-                              out_sem.at[slot]).start()
+        def cond(state):
+            i, t_cur, _ = state
+            # early exit once every ray is dead: remaining chunks
+            # contribute exactly zero gradient (w == 0 under the kill
+            # mask) and zero-visit below keeps the pending scheme exact
+            return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
 
-        phi_acc = phi_acc + psi_sum
-        return i + 1, t_out, phi_acc
+        def shared_accum(g, accum_same, d_rec):
+            """shared_segments only: accumulate with the HBM value
+            written by previous tiles (t > 0) when the pending buffer
+            does not already hold this chunk."""
+            if not cfg.shared_segments:
+                return d_rec
+            need_rmw = (t > 0) & ~accum_same
+            rmw = pltpu.make_async_copy(grads_hbm.at[g], rmw_buf, rmw_sem)
 
-    init = (jnp.asarray(0, jnp.int32),
-            jnp.ones((TILE_PIX, 1), jnp.float32),
-            jnp.zeros((TILE_PIX, 1), jnp.float32))
-    i_end, _, _ = jax.lax.while_loop(cond, body, init)
+            @pl.when(need_rmw)
+            def _():
+                rmw.start()
+                rmw.wait()
 
-    # drain the in-flight gradient writes (at most one per slot)
-    def drain(j, _):
-        pltpu.make_async_copy(grad_buf.at[jax.lax.rem(j, 2)],
-                              grads_hbm.at[first + j],
-                              out_sem.at[jax.lax.rem(j, 2)]).wait()
-        return 0
+            return jnp.where(need_rmw, d_rec + rmw_buf[:, :], d_rec)
 
-    jax.lax.fori_loop(jnp.maximum(i_end - 2, 0), i_end, drain, 0)
+        def body(state):
+            i, t_cur, phi_acc = state
+            g = first + i
 
-    # drain the prefetched-but-unconsumed DMA on early exit
-    @pl.when((i_end > 0) & (i_end < nchunks))
-    def _():
-        get_dma(jax.lax.rem(i_end, 2), i_end).wait()
+            @pl.when(i + 1 < nchunks)
+            def _():
+                start_fetch(g + 1)
 
-    # zero-fill gradient rows of the skipped (all-dead) chunks; in
-    # shared_segments mode only the first program initializes (later
-    # programs' skipped chunks keep the accumulated values: their own
-    # contribution is exactly zero)
-    zero_ok = (t == 0) if cfg.shared_segments else (t >= 0)
+            wait_ready(g)
+            accum_same = claim_slot(g)
 
-    @pl.when((i_end < nchunks) & zero_ok)
-    def _():
-        grad_buf[0] = jnp.zeros_like(grad_buf[0])
+            rec = chunk_buf[jax.lax.rem(g, 2)]
+            g0 = g * CHUNK
+            lane_mask = (lane + g0 >= start) & (lane + g0 < end)
+            d_rec, t_out, psi_sum = _bwd_chunk_grads(
+                rec, ray_o, ray_d, tmin, tmax, t_cur, phi_total - phi_acc,
+                t_final, g_feat, g_t, g_depth, lane_mask, cfg)
+            d_rec = shared_accum(g, accum_same, d_rec)
+            commit_slot(g, accum_same, d_rec)
+            return i + 1, t_out, phi_acc + psi_sum
 
+        init = (jnp.asarray(0, jnp.int32),
+                jnp.ones((TILE_PIX, 1), jnp.float32),
+                jnp.zeros((TILE_PIX, 1), jnp.float32))
+        i_end, _, _ = jax.lax.while_loop(cond, body, init)
+
+        # zero-visit the skipped (all-dead) chunks so every chunk of the
+        # tile's range flows through the pending scheme (a later tile
+        # revisiting a zero-filled boundary chunk then accumulates
+        # correctly). In shared_segments mode later tiles contribute
+        # exactly zero to their skipped chunks, whose HBM values must be
+        # preserved — only tile 0 zero-initializes there.
         def zbody(i, _):
-            dma = pltpu.make_async_copy(grad_buf.at[0],
-                                        grads_hbm.at[first + i],
-                                        out_sem.at[0])
-            dma.start()
-            dma.wait()
+            g = first + i
+            accum_same = claim_slot(g)
+            zero = jnp.zeros((cfg.record_dim, CHUNK), jnp.float32)
+            # accum_same: pending already holds g; adding 0 is a no-op
+            commit_slot(g, accum_same, zero)
             return 0
 
-        jax.lax.fori_loop(i_end, nchunks, zbody, 0)
+        if cfg.shared_segments:
+            zstart = jnp.where(t == 0, i_end, nchunks)
+        else:
+            zstart = i_end
+        jax.lax.fori_loop(zstart, nchunks, zbody, 0)
+
+        _prefetch_next_tile(t, tp, tile_start_ref, tile_count_ref,
+                            start_fetch)
+        return 0
+
+    jax.lax.fori_loop(0, strip, tile_body, 0)
+
+    # final program: flush pendings and retire every DMA
+    @pl.when(prog == pl.num_programs(0) - 1)
+    def _():
+        drain()
+        for slot in range(2):
+            @pl.when(wfl_ref[slot] >= 0)
+            def _():
+                out_dma(slot, wfl_ref[slot]).wait()
+                wfl_ref[slot] = -1
+
+            pending = pend_ref[slot]
+
+            @pl.when(pending >= 0)
+            def _():
+                w_dma = out_dma(slot, pending)
+                w_dma.start()
+                w_dma.wait()
+                pend_ref[slot] = -1
 
 
 # ---------------------------------------------------------------------------
@@ -1442,12 +1586,18 @@ def rasterize_weight_telemetry(records, tile_start, tile_count, rays,
 # host-side wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-# tiles per grid step (fwd/bwd kernels). MEASURED: 2 does NOT help - the
-# ~1.4 us/program cost is per-TILE intrinsic (out-block writes, scalar
-# reads), not per-grid-step, and the doubled bwd body regressed ~5 ms
-# (scheduling/I-cache). Keep 1; the tpb plumbing stays for future
-# experiments (padding tiles carry count 0 -> body skipped).
-TPB = 1
+# tiles per grid step (fwd/bwd strip kernels). Consecutive tiles share
+# boundary chunks and their block I/O amortizes over the strip; one grid
+# step per tile (the round-1 design) paid ~1.4 us/program x 2500 tiles
+# per pass (tpu_profile9).
+STRIP = 25
+
+
+def _strip_for(cfg: RasterKernelConfig) -> int:
+    # shared_segments (trace()): every tile walks the same chunk range
+    # and tiles>0 must read back HBM gradients; the pending-accumulate
+    # scheme requires the per-tile visit order of strip=1
+    return 1 if cfg.shared_segments else STRIP
 
 
 def _pad_tiles(tile_start, tile_count, rays, tpb):
@@ -1464,26 +1614,29 @@ def _pad_tiles(tile_start, tile_count, rays, tpb):
 
 def _pallas_forward(records, tile_start, tile_count, rays, cfg, interpret):
     num_tiles = rays.shape[0]
+    strip = _strip_for(cfg)
     tile_start, tile_count, rays, tp = _pad_tiles(tile_start, tile_count,
-                                                  rays, TPB)
+                                                  rays, strip)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(tp // TPB,),
+        grid=(tp // strip,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((TPB, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((strip, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TPB, TILE_PIX, cfg.out_dim),
+        out_specs=pl.BlockSpec((strip, TILE_PIX, cfg.out_dim),
                                lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, cfg.record_dim, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg=cfg, tpb=TPB),
+        functools.partial(_fwd_strip_kernel, cfg=cfg, strip=strip, tp=tp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tp, TILE_PIX, cfg.out_dim),
                                        jnp.float32),
@@ -1496,22 +1649,23 @@ def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
                      grad_out, cfg, interpret):
     n_chunks = records.shape[0]
     num_tiles = rays.shape[0]
+    strip = _strip_for(cfg)
     tile_start, tile_count, rays, tp = _pad_tiles(tile_start, tile_count,
-                                                  rays, TPB)
+                                                  rays, strip)
     pad = tp - num_tiles
     if pad:
         fwd_out = jnp.pad(fwd_out, ((0, pad), (0, 0), (0, 0)))
         grad_out = jnp.pad(grad_out, ((0, pad), (0, 0), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(tp // TPB,),
+        grid=(tp // strip,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((TPB, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((strip, TILE_PIX, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TPB, TILE_PIX, cfg.out_dim),
+            pl.BlockSpec((strip, TILE_PIX, cfg.out_dim),
                          lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TPB, TILE_PIX, cfg.out_dim),
+            pl.BlockSpec((strip, TILE_PIX, cfg.out_dim),
                          lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -1522,10 +1676,14 @@ def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
         ],
     )
     grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, cfg=cfg, tpb=TPB),
+        functools.partial(_bwd_strip_kernel, cfg=cfg, strip=strip, tp=tp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_chunks, cfg.record_dim, CHUNK),
                                        jnp.float32),
@@ -1541,7 +1699,9 @@ def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
                 cfg.sorted_compositing
                 and not (cfg.shared_origin
                          and cfg.feature_mode == "constant"))
-            else None),
+            # strip blocks (3x [S,256,8] double-buffered) + loop temps
+            # overflow the 16 MB default scoped-vmem limit slightly
+            else (32 << 20)),
     )(tile_start, tile_count, records, rays, fwd_out, grad_out)
     return grads
 

@@ -40,12 +40,17 @@ def _band_matrix(n: int, size: int, sigma: float = 1.5):
 
 
 def _blur(img, size: int):
-    """Separable valid-padding Gaussian blur. img: [B, C, H, W]."""
+    """Separable valid-padding Gaussian blur. img: [B, C, H, W].
+
+    precision="high" (bf16x3 passes) keeps ~1e-6 relative error on the
+    moment maps - far below the C1/C2 stabilizers - at half the MXU cost
+    of "highest" (bf16x6).
+    """
     h, w = img.shape[-2:]
     bh = jnp.asarray(_band_matrix(h, size))          # [H, H']
     bw = jnp.asarray(_band_matrix(w, size))          # [W, W']
-    out = jnp.einsum("bchw,hk->bckw", img, bh, precision="highest")
-    return jnp.einsum("bckw,wl->bckl", out, bw, precision="highest")
+    out = jnp.einsum("bchw,hk->bckw", img, bh, precision="high")
+    return jnp.einsum("bckw,wl->bckl", out, bw, precision="high")
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
