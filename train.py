@@ -109,6 +109,21 @@ def main():
 
     ckpt_iters = set(conf.checkpoint.iterations)
     os.makedirs(out_dir, exist_ok=True)
+
+    if conf.get("with_gui"):
+        # live-training web viewer (reference utils/gui.py with_gui flag)
+        from threedgrut_tpu.playground.live_gui import TrainingGUI
+
+        pos = np.asarray(model.params.positions)
+        n_act = int(model.n_active)
+        center = pos[:n_act].mean(axis=0) if n_act else np.zeros(3)
+        gui = TrainingGUI(trainer, center=tuple(float(c) for c in center),
+                          out_dir=out_dir)
+        gui.start()
+        gui.run(max_steps=tconf.n_iterations)
+        trainer.save_checkpoint(os.path.join(out_dir, "ckpt_last.npz"))
+        return
+
     try:
         while trainer.global_step < tconf.n_iterations:
             trainer.run_training(
