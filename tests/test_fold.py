@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scene_utils import make_test_scene
 from threedgrut_tpu.ops.pallas.fold import BLKR, FSLAB, fold_sorted_intervals
@@ -49,6 +50,7 @@ class TestFoldKernel:
 
 
 class TestGradFoldRoute:
+    @pytest.mark.slow
     def test_gradients_match_scatter_route(self):
         cam, model = make_test_scene(n=96, seed=2, res=(64, 48))
         target = jnp.zeros((48, 64, 3))

@@ -13,6 +13,8 @@ import urllib.request
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from test_training import make_trainer
 from threedgrut_tpu.playground.live_gui import TrainingGUI
 

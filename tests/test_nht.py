@@ -69,6 +69,7 @@ class TestNHTRender:
         assert np.all(np.isfinite(f))
         assert np.abs(f).max() > 0
 
+    @pytest.mark.slow
     def test_kernel_vjp_matches_autodiff(self):
         """Kernel-level check: residual-formulation backward == exact
         autodiff of an equivalent scan-composited reference."""
@@ -176,6 +177,7 @@ class TestDecoder:
 
 
 class TestNHTTraining:
+    @pytest.mark.slow
     def test_nht_trainer_loss_decreases(self):
         """End-to-end NHT: render features -> decoder -> RGB loss."""
         import test_training as tt

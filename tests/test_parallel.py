@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import importlib.util
     spec = importlib.util.spec_from_file_location(

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scene_utils import make_test_scene
 from threedgrut_tpu.playground.engine import (Engine3DGRUT, EngineConfig,
@@ -104,6 +105,7 @@ class TestEngine:
                               jnp.asarray([[0.0, 0.0, 1.0]]))
         assert np.all(np.asarray(rgb[0]) > 0.05)
 
+    @pytest.mark.slow
     def test_gaussians_contribute(self):
         eng = self._engine()
         rgb_through = eng.render_rays(jnp.asarray([[0.0, 0.0, 0.0]]),
@@ -114,6 +116,7 @@ class TestEngine:
         assert np.abs(np.asarray(rgb_through) - np.asarray(rgb_away)).max() \
             > 0.01
 
+    @pytest.mark.slow
     def test_full_frame_render_with_dof(self):
         cam, model = make_test_scene(n=24, seed=1, res=(32, 32))
         eng = Engine3DGRUT(model, EngineConfig(max_bounces=1, spp=2,

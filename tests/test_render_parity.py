@@ -78,6 +78,7 @@ class TestRenderParity:
         assert int(out["pairs_overflow"]) > 0
 
 
+@pytest.mark.slow
 class TestSortedBackwardParity:
     def test_hand_sorted_bwd_matches_vjp_route(self):
         """The hand-derived sorted backward (_bwd_chunk_fast_sorted,

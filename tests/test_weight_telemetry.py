@@ -4,6 +4,7 @@ GS weight-prune path end to end."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scene_utils import make_test_scene
 from threedgrut_tpu.ops.hit import density_hit
@@ -95,6 +96,7 @@ class TestWeightTelemetry:
         assert int(n_pruned) >= 16
         assert int(new_model.n_active) <= 16
 
+    @pytest.mark.slow
     def test_trainer_hook_runs(self):
         import sys
         sys.path.insert(0, "/root/repo/tests")

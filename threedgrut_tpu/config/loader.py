@@ -307,6 +307,8 @@ def to_trainer_config(conf: ConfigNode):
         k_buffer_size=splat.get("k_buffer_size", 0),
         sorted_compositing=(splat.get("k_buffer_size", 0) > 0
                             or render.get("method") == "3dgrt"),
+        sort_window=render.get("sort_window", 64),
+        exact_kill=render.get("exact_kill", True),
         max_pairs=render.get("max_pairs", 1 << 20))
 
     bgc = model.get("background", {})

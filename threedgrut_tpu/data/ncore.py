@@ -85,6 +85,10 @@ class NCoreDataset:
         return np.concatenate(clouds) if clouds else np.zeros((0, 3))
 
     def get_gpu_batch_with_intrinsics(self, index: int) -> Batch:
+        """Batch contract of the reference NCore loader
+        (datasetNcore.py:1068): shutter start/end poses and the native
+        camera-model parameter dict for the sensor's projection model
+        (pinhole / fisheye / FTheta)."""
         cam_id, fidx = self.frames[index]
         img = np.asarray(self.seq.camera_image(cam_id, fidx), np.float32)
         if img.max() > 1.5:
@@ -93,18 +97,43 @@ class NCoreDataset:
         t_end = np.asarray(
             self.seq.camera_pose_shutter_end(cam_id, fidx), np.float32) \
             if hasattr(self.seq, "camera_pose_shutter_end") else None
-        intr = self.seq.camera_intrinsics(cam_id)
+        intr = dict(self.seq.camera_intrinsics(cam_id))
         h, w = img.shape[:2]
+        model = str(intr.get("model", "pinhole")).lower()
+        kw = {}
+        if "fisheye" in model:
+            kw["intrinsics_OpenCVFisheyeCameraModelParameters"] = dict(
+                fx=intr["fx"], fy=intr["fy"], cx=intr["cx"], cy=intr["cy"],
+                radial=intr.get("radial", [0.0, 0.0, 0.0, 0.0]),
+                max_angle=intr.get("max_angle", np.pi / 2))
+        elif "ftheta" in model:
+            kw["intrinsics_FThetaCameraModelParameters"] = dict(
+                cx=intr["cx"], cy=intr["cy"],
+                angle_to_pixeldist=intr["angle_to_pixeldist"],
+                pixeldist_to_angle=intr["pixeldist_to_angle"],
+                reference_poly=intr.get("reference_poly", 0),
+                linear_cde=intr.get("linear_cde", (1.0, 0.0, 0.0)),
+                max_angle=intr.get("max_angle", np.pi / 2))
+        elif any(np.any(np.asarray(intr.get(k, 0.0)) != 0.0)
+                 for k in ("radial", "tangential", "thin_prism")):
+            kw["intrinsics_OpenCVPinholeCameraModelParameters"] = dict(
+                fx=intr["fx"], fy=intr["fy"], cx=intr["cx"], cy=intr["cy"],
+                radial=intr.get("radial", np.zeros(6)),
+                tangential=intr.get("tangential", np.zeros(2)),
+                thin_prism=intr.get("thin_prism", np.zeros(4)))
+        shutter = getattr(self.seq, "shutter_type",
+                          lambda _c: "global")(cam_id)
         batch = Batch(
             rays_ori=np.zeros((h, w, 3), np.float32),
             rays_dir=np.zeros((h, w, 3), np.float32),
             T_to_world=t_start, T_to_world_end=t_end,
             rgb_gt=img,
-            intrinsics=[intr["fx"], intr["fy"], intr["cx"], intr["cy"]],
-            shutter_type=getattr(self.seq, "shutter_type",
-                                 lambda _c: "global")(cam_id),
+            intrinsics=[intr.get("fx", 1.0), intr.get("fy", 1.0),
+                        intr["cx"], intr["cy"]],
+            shutter_type=shutter,
             frame_idx=index,
-            camera_idx=self.camera_ids.index(cam_id))
+            camera_idx=self.camera_ids.index(cam_id),
+            **kw)
         return batch
 
     def __getitem__(self, index: int) -> Batch:

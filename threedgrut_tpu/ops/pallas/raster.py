@@ -108,6 +108,19 @@ class RasterKernelConfig(NamedTuple):
     # final-transmittance lane. Forward-only - the reference backward
     # carries no normal cotangents either.
     compute_normals: bool = False
+    # all-rays-dead early exit in the chunk loops. The outputs are
+    # identical either way (the kill mask freezes dead rays); the check
+    # costs a cross-lane max + scalar branch per visit, which only pays
+    # off on long segments (3DGRT tracing). 3DGUT tiles average ~2 chunk
+    # visits, where the check is pure overhead.
+    early_exit: bool = True
+    # exact reference kill semantics: rays freeze the moment T drops
+    # below min_transmittance (gutKBufferRenderer loop break). False
+    # drops the freeze machinery (~11 elementwise ops/visit fwd, ~13
+    # bwd): T keeps decaying, residual contributions are < 1e-4 per
+    # channel (0.03 of an 8-bit quantum) - quality-equivalent, validated
+    # by a convergence A/B (NOTES.md round 2).
+    exact_kill: bool = True
 
     # --- derived layout ---
     @property
@@ -224,6 +237,30 @@ def _alpha_from_response(response, density, cfg: RasterKernelConfig):
     return jnp.where(accept, alpha, 0.0)
 
 
+def _sq_accept_threshold(density, cfg: RasterKernelConfig):
+    """Per-particle [1,K] squared-distance acceptance threshold merging
+    the response and alpha cutoffs of _alpha_from_response:
+
+        resp > min_response  <=>  sq < f_inv(ln(min_response)/s)
+        resp*dens > min_alpha <=> sq < f_inv((ln(min_alpha)-ln dens)/s)
+
+    (s < 0 is the generalized-Gaussian scale, f(sq) = sq^(deg/2)). One
+    [256,K] compare against min(thr1, thr2) replaces two compares + and
+    on the response/alpha maps. Exact for exp-family degrees (>= 1).
+    """
+    from ..hit import _GG_SCALE
+
+    deg = cfg.kernel_degree
+    s = _GG_SCALE[deg]
+    t1 = math.log(cfg.min_response) / s
+    t2 = (math.log(cfg.min_alpha)
+          - jnp.log(jnp.maximum(density, 1e-30))) / s
+    thr = jnp.minimum(t1, t2)
+    if deg != 2:
+        thr = jnp.power(jnp.maximum(thr, 0.0), 2.0 / deg)
+    return thr
+
+
 def chunk_hits_general(rec, ray_o, ray_d, cfg: RasterKernelConfig,
                        need_canonical: bool = False,
                        need_normals: bool = False):
@@ -328,7 +365,11 @@ def chunk_hits_fast(rec, ray_d, cfg: RasterKernelConfig,
     if not (need_canonical or need_normals):
         # hot path (constant features): c, |b|^2 and a.b all ride the MXU
         # against in-kernel-derived per-particle operands; no b, no VPU
-        # cross product (see _fast_operands)
+        # cross product (see _fast_operands). Five separate small
+        # matmuls MEASURED faster than one fused [256,16]@[16,5K] call
+        # (fwd 14.6 vs 20.6 ms — the wide intermediate + rhs assembly
+        # relayouts cost more than the extra pipeline starts save). The
+        # acceptance test is a single compare in squared-distance space.
         n_mat, p6_mat, u_mat, dmono = _fast_operands(rec, ray_d)
 
         def ddot(op, rows0):
@@ -342,9 +383,16 @@ def chunk_hits_fast(rec, ray_d, cfg: RasterKernelConfig,
         q = ddot(u_mat, 0)
         inv_m = 1.0 / m
         sq_dist = (cx * cx + cy * cy + cz * cz) * inv_m
-        response = particle_response(sq_dist, cfg.kernel_degree)
-        alpha = _alpha_from_response(response, _row(rec, cfg.density_row),
-                                     cfg)
+        dens = _row(rec, cfg.density_row)
+        if cfg.kernel_degree == 0:
+            response = particle_response(sq_dist, 0)
+            alpha = _alpha_from_response(response, dens, cfg)
+        else:
+            thr = _sq_accept_threshold(dens, cfg)
+            response = particle_response(sq_dist, cfg.kernel_degree)
+            alpha = jnp.where(sq_dist < thr,
+                              jnp.minimum(cfg.max_alpha, response * dens),
+                              0.0)
         return alpha, -q * inv_m, None, None
 
     bx = mdot(_M)          # [256,K] = d . M[0,:]
@@ -632,13 +680,18 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
                                               window=cfg.sort_window)
         prefix = _prefix_product_excl(1.0 - a_s)
         t_prev = t_in * prefix
-        alive = t_prev >= cfg.min_transmittance
-        alpha_eff = jnp.where(alive, a_s, 0.0)
-        w_s = alpha_eff * t_prev
-        dead_vals = jnp.where(alive, -1.0, t_prev)
-        t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
-        t_raw_end = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
-        t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+        if cfg.exact_kill:
+            alive = t_prev >= cfg.min_transmittance
+            alpha_eff = jnp.where(alive, a_s, 0.0)
+            w_s = alpha_eff * t_prev
+            dead_vals = jnp.where(alive, -1.0, t_prev)
+            t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
+            t_raw_end = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
+            t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+        else:
+            alpha_eff = a_s
+            w_s = a_s * t_prev
+            t_out = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
         _, (w_u,) = bitonic_sort_by_key(idx_s, [w_s],
                                         window=cfg.sort_window)
         return (w_u, alpha_eff, hit_t, t_prev, t_out, canonical, None,
@@ -670,14 +723,19 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
     # first dead index = the max of T_prev over dead indices.
     prefix = _prefix_product_excl(1.0 - alpha)        # [256,K]
     t_prev = t_in * prefix                            # raw T before hit j
-    alive = t_prev >= cfg.min_transmittance           # kill semantics
-    alpha_eff = jnp.where(alive, alpha, 0.0)
-    w = alpha_eff * t_prev                            # == eff w while alive
-    dead_vals = jnp.where(alive, -1.0, t_prev)
-    t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
-    t_raw_end = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
-    any_dead = t_frozen >= 0.0
-    t_out = jnp.where(any_dead, t_frozen, t_raw_end)
+    if cfg.exact_kill:
+        alive = t_prev >= cfg.min_transmittance       # kill semantics
+        alpha_eff = jnp.where(alive, alpha, 0.0)
+        w = alpha_eff * t_prev                        # == eff w while alive
+        dead_vals = jnp.where(alive, -1.0, t_prev)
+        t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
+        t_raw_end = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
+        any_dead = t_frozen >= 0.0
+        t_out = jnp.where(any_dead, t_frozen, t_raw_end)
+    else:
+        alpha_eff = alpha
+        w = alpha * t_prev
+        t_out = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
     return w, alpha_eff, hit_t, t_prev, t_out, canonical, hit_feats, normals
 
 
@@ -813,6 +871,8 @@ def _fwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
 
         def cond(state):
             i, t_cur = state[0], state[1]
+            if not cfg.early_exit:
+                return i < nchunks
             return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
 
         def body(state):
@@ -1064,18 +1124,26 @@ def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     f = cfg.feat_dim
     (dmono, cx, cy, cz, q, inv_m, c2, sq, resp, dens, alpha_raw, alpha,
      hit_t) = _fast_fwd_vals(rec, ray_d, cfg)
-    ok = ((resp > cfg.min_response) & (alpha > cfg.min_alpha)
-          & (hit_t > tmin) & (hit_t < tmax) & lane_mask)
+    if cfg.kernel_degree == 0:
+        accept = (resp > cfg.min_response) & (alpha > cfg.min_alpha)
+    else:
+        accept = sq < _sq_accept_threshold(dens, cfg)
+    ok = accept & (hit_t > tmin) & (hit_t < tmax) & lane_mask
     alpha = jnp.where(ok, alpha, 0.0)
     prefix = _prefix_product_excl(1.0 - alpha)
     t_prev = t_in * prefix
-    alive = t_prev >= cfg.min_transmittance
-    alpha_eff = jnp.where(alive, alpha, 0.0)
-    w = alpha_eff * t_prev
-    dead_vals = jnp.where(alive, -1.0, t_prev)
-    t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
-    t_raw_end = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
-    t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+    if cfg.exact_kill:
+        alive = t_prev >= cfg.min_transmittance
+        alpha_eff = jnp.where(alive, alpha, 0.0)
+        w = alpha_eff * t_prev
+        dead_vals = jnp.where(alive, -1.0, t_prev)
+        t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
+        t_raw_end = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
+        t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+    else:
+        alpha_eff = alpha
+        w = alpha * t_prev
+        t_out = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
 
     # --- cotangents (single suffix sum; phi via one MXU contraction) ---
     feats = rec[cfg.feat_offset:cfg.feat_offset + f, :]          # [F,K]
@@ -1117,8 +1185,11 @@ def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     f = cfg.feat_dim
     (dmono, cx, cy, cz, q, inv_m, c2, sq, resp, dens, alpha_raw, alpha,
      hit_t) = _fast_fwd_vals(rec, ray_d, cfg)
-    ok = ((resp > cfg.min_response) & (alpha > cfg.min_alpha)
-          & (hit_t > tmin) & (hit_t < tmax) & lane_mask)
+    if cfg.kernel_degree == 0:
+        accept = (resp > cfg.min_response) & (alpha > cfg.min_alpha)
+    else:
+        accept = sq < _sq_accept_threshold(dens, cfg)
+    ok = accept & (hit_t > tmin) & (hit_t < tmax) & lane_mask
     alpha = jnp.where(ok, alpha, 0.0)
 
     feats = rec[cfg.feat_offset:cfg.feat_offset + f, :]          # [F,K]
@@ -1137,13 +1208,18 @@ def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     # composite + suffix cotangents in sorted order (mirrors the fwd)
     prefix = _prefix_product_excl(1.0 - a_s)
     t_prev = t_in * prefix
-    alive = t_prev >= cfg.min_transmittance
-    alpha_eff = jnp.where(alive, a_s, 0.0)
-    w_s = alpha_eff * t_prev
-    dead_vals = jnp.where(alive, -1.0, t_prev)
-    t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
-    t_raw_end = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
-    t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+    if cfg.exact_kill:
+        alive = t_prev >= cfg.min_transmittance
+        alpha_eff = jnp.where(alive, a_s, 0.0)
+        w_s = alpha_eff * t_prev
+        dead_vals = jnp.where(alive, -1.0, t_prev)
+        t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
+        t_raw_end = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
+        t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+    else:
+        alpha_eff = a_s
+        w_s = a_s * t_prev
+        t_out = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
 
     psi = w_s * u_s
     csum = _cumsum_incl(psi)
@@ -1359,6 +1435,8 @@ def _bwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
             # early exit once every ray is dead: remaining chunks
             # contribute exactly zero gradient (w == 0 under the kill
             # mask) and zero-visit below keeps the pending scheme exact
+            if not cfg.early_exit:
+                return i < nchunks
             return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
 
         def shared_accum(g, accum_same, d_rec):

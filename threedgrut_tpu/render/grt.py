@@ -11,10 +11,11 @@ this module preserves the *semantics* with TPU-native machinery:
   the Pallas kernel composites with per-ray chunk re-sorting
   (sorted_compositing - a 128-deep ordering window, strictly wider than
   the reference's 16-deep hit buffer),
-- arbitrary rays (``trace``, playground secondary rays): rays are packed
-  into 256-ray blocks that brute-force march the full depth-sorted
-  particle list in chunks (no spatial binning yet); differentiable via
-  the kernel's shared-segment backward.
+- arbitrary rays (``trace``, playground secondary rays): a world-space
+  uniform-grid acceleration structure (build_grid, SURVEY.md section 7.9)
+  selects per-256-ray-block candidate cells front-to-back; a brute-force
+  full-list march remains as the exact fallback/oracle. Differentiable
+  either way.
 
 Config deltas vs 3DGUT (configs/render/3dgrt.yaml): kernel degree 4,
 min_transmittance 1e-3.
@@ -54,10 +55,117 @@ def render_grt(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
                       sh_degree, rays=rays, interpret=interpret)
 
 
+class GridAccel:
+    """World-space uniform-grid acceleration structure for trace().
+
+    The TPU-native replacement of the reference's OptiX BVH
+    (threedgrt_tracer/src/optixTracer.cpp:616 buildBVH): per-cell
+    particle lists built fully on device with sort/searchsorted (no
+    scatter), plus a "global" list for particles larger than a cell
+    (which a 2x2x2 corner-lattice assignment could miss). Build once
+    per frame and reuse across bounces (playground) via the ``accel=``
+    argument of :func:`trace`.
+    """
+
+    def __init__(self, lo, cs, dims, pair_particle, pair_rank, seg_start,
+                 global_particle, global_rank, rank_origin, overflow):
+        self.lo = lo                        # [3] grid origin
+        self.cs = cs                        # [3] cell size
+        self.dims = dims                    # static G (G^3 cells)
+        self.pair_particle = pair_particle  # [8*cap] i32 (cell,rank)-sorted
+        self.pair_rank = pair_rank          # [8*cap] f32
+        self.seg_start = seg_start          # [G^3+2] i32 cell segments
+        self.global_particle = global_particle  # [global_cap] i32
+        self.global_rank = global_rank          # [global_cap] f32
+        self.rank_origin = rank_origin      # [3] ordering reference point
+        self.overflow = overflow            # [] i32 dropped oversized
+
+
+def build_grid(model: GaussianState, rank_origin, grid_dims: int = 8,
+               global_cap: int = 1024) -> GridAccel:
+    """Build the uniform grid over active particles (device-side).
+
+    Small particles (diameter <= cell size) are emitted to their <= 8
+    overlapped cells via the 2x2x2 corner lattice; larger ones go to the
+    global list (every block composites them), overflowing ones beyond
+    ``global_cap`` are dropped and counted in ``overflow``.
+    """
+    g = grid_dims
+    cap = model.capacity
+    active = model.active_mask()
+    pos = model.params.positions
+    r3 = 3.0 * jnp.max(model.get_scale(), axis=-1)          # [C]
+    big = jnp.float32(3e37)
+    lo = jnp.min(jnp.where(active[:, None], pos - r3[:, None], big), axis=0)
+    hi = jnp.max(jnp.where(active[:, None], pos + r3[:, None], -big),
+                 axis=0)
+    cs = jnp.maximum((hi - lo) / g, 1e-6)
+
+    small = active & (2.0 * r3 <= jnp.min(cs))
+    base = jnp.clip(jnp.floor((pos - r3[:, None] - lo) / cs), 0,
+                    g - 1).astype(jnp.int32)                # [C,3]
+    top = jnp.clip(jnp.floor((pos + r3[:, None] - lo) / cs), 0,
+                   g - 1).astype(jnp.int32)
+
+    n_cells = g * g * g
+    cells = []
+    for ox in (0, 1):
+        for oy in (0, 1):
+            for oz in (0, 1):
+                cx = jnp.minimum(base[:, 0] + ox, top[:, 0])
+                cy = jnp.minimum(base[:, 1] + oy, top[:, 1])
+                cz = jnp.minimum(base[:, 2] + oz, top[:, 2])
+                cells.append((cx * g + cy) * g + cz)        # [C]
+    cells = jnp.stack(cells, axis=1)                        # [C,8]
+    # dedupe repeated cells (span-1 axes repeat ids) -> sentinel
+    dup = jnp.zeros_like(cells, dtype=bool)
+    for i in range(1, 8):
+        same = jnp.zeros((cap,), bool)
+        for j in range(i):
+            same = same | (cells[:, i] == cells[:, j])
+        dup = dup.at[:, i].set(same)
+    cells = jnp.where(small[:, None] & ~dup, cells, n_cells)
+
+    rank = jnp.where(active, jnp.linalg.norm(pos - rank_origin, axis=1),
+                     jnp.inf)
+    pid = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32)[:, None],
+                           (cap, 8))
+    cell_s, rank_s, pid_s = jax.lax.sort(
+        (cells.reshape(-1), jnp.broadcast_to(rank[:, None],
+                                             (cap, 8)).reshape(-1),
+         pid.reshape(-1)), num_keys=2)
+    seg_start = jnp.searchsorted(
+        cell_s, jnp.arange(n_cells + 2, dtype=jnp.int32), side="left",
+        method="scan_unrolled").astype(jnp.int32)
+
+    # oversized particles: rank-sorted global list with a static cap
+    over_key = jnp.where(active & ~small, 0, 1).astype(jnp.int32)
+    _, g_rank, g_pid = jax.lax.sort(
+        (over_key, rank, jnp.arange(cap, dtype=jnp.int32)), num_keys=2)
+    n_over = jnp.sum((active & ~small).astype(jnp.int32))
+    take = min(global_cap, cap)
+    g_particle = jnp.where(jnp.arange(take) < n_over, g_pid[:take], -1)
+    g_rank = jnp.where(jnp.arange(take) < n_over, g_rank[:take], jnp.inf)
+    if take < global_cap:
+        g_particle = jnp.pad(g_particle, (0, global_cap - take),
+                             constant_values=-1)
+        g_rank = jnp.pad(g_rank, (0, global_cap - take),
+                         constant_values=jnp.inf)
+    # the grid is structural: no gradients flow through build outputs
+    sg = jax.lax.stop_gradient
+    return GridAccel(sg(lo), sg(cs), grid_dims, pid_s, sg(rank_s),
+                     seg_start, g_particle, sg(g_rank),
+                     sg(jnp.asarray(rank_origin)),
+                     jnp.maximum(n_over - global_cap, 0))
+
+
 def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
           sh_degree: int = 3, raster_cfg: Optional[RasterConfig] = None,
           t_min=1e-4, t_max=1e7,
-          accelerate: Optional[bool] = None, max_clusters: int = 16,
+          accelerate: Optional[bool] = None,
+          accel: Optional[GridAccel] = None,
+          grid_dims: int = 8, max_cells: int = 24, cell_cap: int = 256,
+          global_cap: int = 1024,
           interpret: Optional[bool] = None, _sorted: bool = True):
     """Trace arbitrary world-space rays against the mixture.
 
@@ -66,21 +174,26 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     [..., 3]; returns a dict of the same leading shape.
 
     Two regimes (the BVH-equivalent spatial structure, SURVEY.md hard
-    part #4):
+    part #4 / section 7.9 uniform grid):
     - brute force (``accelerate=False``): every 256-ray block marches
       ALL active particles in global depth order (sorted per chunk for
       correct per-ray ordering). Exact; O(blocks x capacity).
-    - accelerated (default for capacity > 8192): particles are grouped
-      into 256 depth-consecutive clusters with +-3sigma AABBs (the 3sigma
-      surface IS the min_response cutoff, so the AABB test is exactly
-      conservative); each ray block slab-tests all cluster AABBs and
-      keeps the ``max_clusters`` nearest hit clusters in depth order -
-      per-block disjoint candidate segments for the standard sorted
-      kernel (classic disjoint-segment backward, no cross-program
-      accumulation). Rays whose candidates exceed the budget lose the
-      farthest clusters (alpha beyond ~budget*256 hits is negligible).
+    - uniform grid (default for capacity > 8192): a world-space
+      ``grid_dims``^3 cell grid over the active particles (build_grid;
+      pass a prebuilt one via ``accel`` to amortize over bounces). Each
+      256-ray block slab-tests all cells, keeps the ``max_cells``
+      nearest hit cells (by block-min entry distance, front-to-back),
+      gathers up to ``cell_cap`` particles per cell plus the global
+      oversized list, de-duplicates particles straddling several
+      selected cells, and re-sorts the block's candidates into global
+      depth-rank order - so coverage losses aside, the composited
+      sequence is identical to brute force. Spatially local in all three
+      axes: rays perpendicular to the camera depth axis no longer
+      degrade to a full scan (the failure mode of round 1's
+      depth-slab clusters).
 
-    Differentiable w.r.t. model parameters either way.
+    Differentiable w.r.t. model parameters either way (per-block
+    disjoint candidate segments -> classic kernel backward).
 
     ``_sorted`` is test plumbing only: False drops the per-chunk bitonic
     re-sort (whose interpret-mode vjp compile is minutes-slow) so tests
@@ -131,7 +244,7 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         active.astype(jnp.int32))).astype(jnp.float32)[:, None]
 
     if accelerate is None:
-        accelerate = cap > 8192
+        accelerate = accel is not None or cap > 8192
 
     kcfg = RasterKernelConfig(
         kernel_degree=raster_cfg.kernel_degree,
@@ -173,55 +286,99 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     ], axis=1)
 
     if accelerate:
-        # depth-consecutive 256-particle clusters with conservative
-        # +-3sigma AABBs (3sigma == the min_response surface)
-        ccl = 256
-        m = n_chunk_rows // ccl
-        rad = 3.0 * jnp.max(scale_s, axis=-1, keepdims=True)
-        big = jnp.float32(3e37)
-        lo_p = jnp.where(slot_valid > 0, pos_s - rad, big)
-        hi_p = jnp.where(slot_valid > 0, pos_s + rad, -big)
-        cl_lo = jnp.min(lo_p.reshape(m, ccl, 3), axis=1)   # [M,3]
-        cl_hi = jnp.max(hi_p.reshape(m, ccl, 3), axis=1)
-        k_sel = min(max_clusters, m)
+        # uniform-grid traversal (build_grid): per-block front-to-back
+        # cell selection + global depth-rank candidate ordering
+        if accel is None:
+            accel = build_grid(model, center, grid_dims=grid_dims,
+                               global_cap=global_cap)
+        g = accel.dims
+        n_cells = g * g * g
+        k_sel = min(max_cells, n_cells)
+        # cell AABBs from indices
+        ci = jnp.arange(n_cells, dtype=jnp.int32)
+        ijk = jnp.stack([ci // (g * g), (ci // g) % g, ci % g],
+                        axis=1).astype(jnp.float32)        # [M,3]
+        cell_lo = accel.lo + ijk * accel.cs
+        cell_hi = cell_lo + accel.cs
 
-        def select(block):                        # [256, 8] -> [K]
+        def select(block):                        # [256, 8] -> [K], [K]
             o, d = block[:, 0:3], block[:, 3:6]
             bt0, bt1 = block[:, 6:7], block[:, 7:8]
             inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
-            t0 = (cl_lo[None] - o[:, None]) * inv[:, None]
-            t1 = (cl_hi[None] - o[:, None]) * inv[:, None]
+            t0 = (cell_lo[None] - o[:, None]) * inv[:, None]
+            t1 = (cell_hi[None] - o[:, None]) * inv[:, None]
             tn = jnp.max(jnp.minimum(t0, t1), axis=-1)     # [256, M]
             tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
             hit = (tf >= jnp.maximum(tn, bt0)) & (tn <= bt1)
-            any_hit = jnp.any(hit, axis=0)
-            # keep the K nearest clusters IN DEPTH ORDER (cluster index
-            # == depth rank block)
-            val = jnp.where(any_hit, jnp.arange(m), m)
-            # top_k of -val descends in -val == ascends in val: the K
-            # nearest hit clusters front-to-back; un-hit slots surface
-            # index m -> the dead cluster
-            neg_top, _ = jax.lax.top_k(-val, k_sel)
-            return -neg_top
+            # nearest entry distance over the block's rays, hit cells only
+            tkey = jnp.min(jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf),
+                           axis=0)                         # [M]
+            neg_top, sel_idx = jax.lax.top_k(-tkey, k_sel)
+            return sel_idx, -neg_top
 
-        sel = jax.vmap(select)(rays_packed)                # [B, K]
-        # cluster m is a dead cluster: un-hit selections land there and
-        # contribute nothing (zero density), keeping every chunk of every
-        # segment written in the backward. Geometry must be NaN-safe
-        # (identity quat, unit scale) so the VJP chain stays finite.
-        dead = jnp.zeros((ccl, rdim), jnp.float32)
+        sel, sel_t = jax.vmap(select)(rays_packed)         # [B, K]
+        sel_hit = jnp.isfinite(sel_t)
+
+        # gather each selected cell's particle list (cap cell_cap)
+        seg_s = accel.seg_start[sel]                       # [B, K]
+        seg_n = accel.seg_start[sel + 1] - seg_s
+        within = jnp.arange(cell_cap, dtype=jnp.int32)
+        rows = seg_s[:, :, None] + within[None, None, :]   # [B, K, Cc]
+        valid = (within[None, None, :] < jnp.minimum(seg_n, cell_cap)
+                 [:, :, None]) & sel_hit[:, :, None]
+        total_pairs = accel.pair_particle.shape[0]
+        rows_c = jnp.clip(rows, 0, total_pairs - 1).reshape(n_blocks, -1)
+        pid = jnp.where(valid.reshape(n_blocks, -1),
+                        accel.pair_particle[rows_c], cap)  # cap = dead row
+        rnk = jnp.where(valid.reshape(n_blocks, -1),
+                        accel.pair_rank[rows_c], jnp.inf)
+        # cell-list overflow telemetry (no silent caps)
+        cell_overflow = jnp.sum(
+            jnp.where(sel_hit, jnp.maximum(seg_n - cell_cap, 0), 0))
+
+        # append the global (oversized-particle) list to every block
+        g_pid = jnp.where(accel.global_particle >= 0, accel.global_particle,
+                          cap)
+        pid = jnp.concatenate(
+            [pid, jnp.broadcast_to(g_pid[None], (n_blocks,) + g_pid.shape)],
+            axis=1)
+        rnk = jnp.concatenate(
+            [rnk, jnp.broadcast_to(accel.global_rank[None],
+                                   (n_blocks,) + accel.global_rank.shape)],
+            axis=1)
+        seg_len = ((pid.shape[1] + CHUNK - 1) // CHUNK) * CHUNK
+        pad_l = seg_len - pid.shape[1]
+        if pad_l:
+            pid = jnp.pad(pid, ((0, 0), (0, pad_l)), constant_values=cap)
+            rnk = jnp.pad(rnk, ((0, 0), (0, pad_l)),
+                          constant_values=jnp.inf)
+        # global depth-rank order per block (the brute-force sequence,
+        # minus unselected cells), then de-duplicate particles that were
+        # emitted to several selected cells (adjacent after the sort)
+        rnk, pid = jax.lax.sort(
+            (jax.lax.stop_gradient(rnk), pid), num_keys=1, is_stable=True)
+        dup = jnp.concatenate(
+            [jnp.zeros((n_blocks, 1), bool), pid[:, 1:] == pid[:, :-1]],
+            axis=1)
+        pid = jnp.where(dup, cap, pid)
+
+        # dead row keeps every chunk written in the backward; geometry is
+        # NaN-safe (identity quat, unit scale, zero density)
+        dead = jnp.zeros((1, rdim), jnp.float32)
         dead = dead.at[:, 3].set(1.0)        # quat w
         dead = dead.at[:, 7:10].set(1.0)     # scale
-        table_ext = jnp.concatenate([table_rows, dead], axis=0)
-        rows = (sel[:, :, None] * ccl
-                + jnp.arange(ccl, dtype=jnp.int32)[None, None, :])
-        flat = rows.reshape(-1)                            # [B*K*ccl]
+        # grid path uses raw particle ids -> un-sorted table
+        table_raw = jnp.concatenate([
+            model.params.positions, quats, model.get_scale(),
+            model.get_density() * model.active_mask()[:, None], feats,
+            jnp.zeros((cap, pad_cols), jnp.float32)], axis=1)
+        table_ext = jnp.concatenate([table_raw, dead], axis=0)
+        flat = pid.reshape(-1)
         records = table_ext[flat]
-        p_total = flat.shape[0]
-        records = records.reshape(p_total // CHUNK, CHUNK,
+        records = records.reshape(flat.shape[0] // CHUNK, CHUNK,
                                   rdim).transpose(0, 2, 1)
-        tile_start = jnp.arange(n_blocks, dtype=jnp.int32) * (k_sel * ccl)
-        tile_count = jnp.full(n_blocks, k_sel * ccl, jnp.int32)
+        tile_start = jnp.arange(n_blocks, dtype=jnp.int32) * seg_len
+        tile_count = jnp.full(n_blocks, seg_len, jnp.int32)
     else:
         records = table_rows.reshape(n_chunk_rows // CHUNK, CHUNK,
                                      rdim).transpose(0, 2, 1)
@@ -238,6 +395,10 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         "pred_dist": out[:, 4:5].reshape(*lead_shape, 1),
         "hits_count": out[:, 5:6].reshape(*lead_shape, 1),
     }
+    if accelerate:
+        # capacity telemetry (no silent caps): cell lists truncated at
+        # cell_cap + oversized particles dropped past global_cap
+        result["accel_overflow"] = cell_overflow + accel.overflow
     if kcfg.compute_normals:
         result["pred_normals"] = out[:, 7:10].reshape(*lead_shape, 3)
     return result

@@ -119,8 +119,16 @@ class TrainerConfig:
     ppisp_n_distillation_steps: int = 5000
 
 
+_SHUTTER_NAMES = {
+    "global": 0, "rolling_top_to_bottom": 1, "rolling_left_to_right": 2,
+    "rolling_bottom_to_top": 3, "rolling_right_to_left": 4,
+}
+
+
 def camera_from_batch(batch, ut_cfg: UTConfig) -> Any:
-    """Build a CameraModel from a Batch (T_to_world + intrinsics)."""
+    """Build a CameraModel from a Batch (T_to_world + intrinsics +
+    shutter). Rolling shutter engages when the batch carries an end pose
+    (tracer.py:354-488 SensorPose3D construction)."""
     c2w = np.asarray(batch.T_to_world, np.float64)
     r_wc = c2w[:3, :3].T
     t_wc = -r_wc @ c2w[:3, 3]
@@ -131,12 +139,23 @@ def camera_from_batch(batch, ut_cfg: UTConfig) -> Any:
         r2 = c2we[:3, :3].T
         kw["t_end"] = (-r2 @ c2we[:3, 3]).astype(np.float32)
         kw["q_end"] = _rotmat_to_quat(r2).astype(np.float32)
+        kw["shutter_type"] = _SHUTTER_NAMES.get(
+            str(getattr(batch, "shutter_type", "global")).lower(), 0)
     w, h = batch.resolution
     fish = batch.intrinsics_OpenCVFisheyeCameraModelParameters
     if fish is not None:
         return make_fisheye((w, h), (fish["fx"], fish["fy"]),
                             (fish["cx"], fish["cy"]), fish["radial"],
                             fish.get("max_angle", np.pi / 2), **kw)
+    fth = batch.intrinsics_FThetaCameraModelParameters
+    if fth is not None:
+        from ..ops.cameras import make_ftheta
+        return make_ftheta(
+            (w, h), (fth["cx"], fth["cy"]),
+            fth["angle_to_pixeldist"], fth["pixeldist_to_angle"],
+            fth.get("reference_poly", 0),
+            fth.get("linear_cde", (1.0, 0.0, 0.0)),
+            fth.get("max_angle", np.pi / 2), **kw)
     pin = batch.intrinsics_OpenCVPinholeCameraModelParameters
     if pin is not None:
         return make_pinhole((w, h), (pin["fx"], pin["fy"]),
@@ -263,10 +282,11 @@ class Trainer:
         self.model = self.model.replace(
             params=self.model.params.replace(**d))
 
-    def current_lrs(self) -> Dict[str, float]:
+    def current_lrs(self, step: Optional[int] = None) -> Dict[str, float]:
+        step = self.global_step if step is None else step
         oc = self.conf.optimizer
         lrs = {
-            "positions": self._schedulers["positions"](self.global_step),
+            "positions": self._schedulers["positions"](step),
             "rotation": oc.lr_rotation,
             "scale": oc.lr_scale,
             "density": oc.lr_density,
@@ -275,12 +295,11 @@ class Trainer:
             lrs["features_albedo"] = oc.lr_features_albedo
             lrs["features_specular"] = oc.lr_features_specular
         if self.model.params.features is not None:
-            lrs["features"] = self._schedulers["features"](self.global_step)
+            lrs["features"] = self._schedulers["features"](step)
         if self.decoder is not None:
             # cosine decay (base_gs.yaml nht_decoder.scheduler)
             lrs["nht_decoder"] = adam_mod.cosine_scheduler(
-                0.00068, 0.00068 * 0.1, oc.features_max_steps)(
-                self.global_step)
+                0.00068, 0.00068 * 0.1, oc.features_max_steps)(step)
         if self.ppisp_params is not None:
             lrs["ppisp"] = self.conf.ppisp_lr
         # color-refine phase: freeze gaussians, train only the decoder
@@ -307,7 +326,18 @@ class Trainer:
 
     @staticmethod
     def _round_pairs(x: float) -> int:
-        return max(8192, ((int(x) + 8191) // 8192) * 8192)
+        """Round UP to a bounded geometric ladder (8192 * 1.5^k).
+
+        Every distinct budget is a fresh XLA compile of the train step
+        (10-40 min cold through the remote compile service); quantizing
+        to ~1.5x rungs caps the number of distinct programs a training
+        run can ever request (~30 rungs to 2^31) instead of one per
+        8192-pair increment."""
+        x = max(int(x), 8192)
+        rung = 8192
+        while rung < x:
+            rung = ((int(rung * 1.5) + 8191) // 8192) * 8192
+        return rung
 
     def _calibrate_pairs(self, metrics):
         """Grow the pair budget on overflow; shrink at milestones when the
@@ -341,8 +371,10 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _build_train_step(self, sh_degree: int):
-        """Jitted (params, opt, lrs, gt, key, cam) -> new state + metrics.
+    def _make_step_core(self, sh_degree: int):
+        """Pure (params, opt, lrs, gt, n_active, key, cam, frame_idx) ->
+        (new_params, new_opt, grads, metrics) train-step body, shared by
+        the single-step jit and the fused multi-step scan.
 
         The camera is a traced pytree argument - its pose/intrinsics change
         every frame without recompiling; only resolution/model enums (static
@@ -355,7 +387,6 @@ class Trainer:
 
         use_ppisp = conf.post_processing == "ppisp"
 
-        @jax.jit
         def step_fn(params_d, opt_state, lrs, rgb_gt, n_active, key, cam,
                     frame_idx):
             gauss_d = {k: v for k, v in params_d.items()
@@ -436,6 +467,45 @@ class Trainer:
             return new_params, new_opt, grads, metrics
 
         return step_fn
+
+    def _build_train_step(self, sh_degree: int):
+        return jax.jit(self._make_step_core(sh_degree))
+
+    def _build_train_group(self, sh_degree: int, k_steps: int,
+                           with_grad_buffer: bool):
+        """K train steps fused into ONE device dispatch via lax.scan.
+
+        The reference pays per-iteration kernel-launch overhead on every
+        step; on TPU the per-dispatch runtime cost is ~5-10 ms, so the
+        trainer batches all steps between host-side events (strategy
+        hooks, progressive SH, calibration) into one jitted program. The
+        GS gradient-buffer update (strategy/gs.py:130-141) rides inside
+        the scan so no per-step grads cross the host boundary.
+        """
+        core = self._make_step_core(sh_degree)
+
+        @jax.jit
+        def group_fn(params_d, opt_state, gs_accum, gs_denom, n_active,
+                     lrs_stack, gts, keys, cams, frame_idxs):
+            def body(carry, xs):
+                pd, opt, ga, gd = carry
+                lrs, gt, key, cam, fidx = xs
+                new_p, new_o, grads, metrics = core(
+                    pd, opt, lrs, gt, n_active, key, cam, fidx)
+                if with_grad_buffer:
+                    from ..ops.ut import sensor_position
+                    buf = gs_strategy.update_gradient_buffer(
+                        gs_strategy.GSBuffers(ga, gd), grads["positions"],
+                        new_p["positions"], sensor_position(cam))
+                    ga, gd = buf.grad_norm_accum, buf.grad_norm_denom
+                return (new_p, new_o, ga, gd), metrics
+
+            (pd, opt, ga, gd), metrics = jax.lax.scan(
+                body, (params_d, opt_state, gs_accum, gs_denom),
+                (lrs_stack, gts, keys, cams, frame_idxs), length=k_steps)
+            return pd, opt, ga, gd, metrics
+
+        return group_fn
 
     def train_iteration(self, batch, frame_idx: int = 0) -> Dict[str, float]:
         cam = camera_from_batch(batch, self.conf.ut)
@@ -673,8 +743,137 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    # --- fused multi-step dispatch ---------------------------------------
+
+    #: max train steps fused into one device dispatch between host events
+    GROUP_MAX = 16
+
+    def _is_host_event(self, step: int) -> bool:
+        """True when host-side work runs AT ``step`` (strategy hooks,
+        progressive SH) — a fused group must end on such a step."""
+        conf = self.conf
+        conds = []
+        if conf.strategy == "gs":
+            c = conf.gs
+            conds = [
+                (c.densify_start, c.densify_end, c.densify_frequency),
+                (c.prune_start, c.prune_end, c.prune_frequency),
+                (c.reset_density_start, c.reset_density_end,
+                 c.reset_density_frequency),
+                (c.density_decay_start, c.density_decay_end,
+                 c.density_decay_frequency),
+                (c.prune_scale_start, c.prune_scale_end,
+                 c.prune_scale_frequency),
+            ]
+            if c.prune_weight_frequency > 0:
+                conds.append((c.prune_weight_start, c.prune_weight_end,
+                              c.weight_telemetry_frequency))
+                conds.append((c.prune_weight_start, c.prune_weight_end,
+                              c.prune_weight_frequency))
+            # the gradient-buffer window edge flips the scan's static
+            # with_grad_buffer flag — force a boundary just before the
+            # edge so no group straddles it (the update runs for steps
+            # strictly below densify_end)
+            if step in (c.densify_end - 1, c.densify_end):
+                return True
+        elif conf.strategy == "mcmc":
+            c = conf.mcmc
+            conds = [
+                (c.relocate_start, c.relocate_end, c.relocate_frequency),
+                (c.add_start, c.add_end, c.add_frequency),
+                (c.perturb_start, c.perturb_end, c.perturb_frequency),
+            ]
+        if any(strat_base.check_step_condition(step, s, e, f)
+               for (s, e, f) in conds):
+            return True
+        if (self.n_active_features < conf.max_n_features
+                and conf.increase_frequency > 0
+                and step % conf.increase_frequency == 0):
+            return True
+        return False
+
+    def _plan_group(self, n: int, avail: int, log_every: int) -> int:
+        """Number of steps to fuse into the next dispatch."""
+        if self.decoder is not None:
+            return 1  # per-step host EMA update
+        k = 0
+        while (k < self.GROUP_MAX and self.global_step + k < n
+               and k < avail):
+            k += 1
+            s = self.global_step + k
+            if (self._is_host_event(s)
+                    or (log_every and s % log_every == 0)):
+                break
+        return max(k, 1)
+
+    def train_group(self, batches, frame_idxs) -> Dict[str, float]:
+        """Run len(batches) train steps in ONE device dispatch; returns
+        the final step's metrics (with group-max pair telemetry)."""
+        k = len(batches)
+        cams = [camera_from_batch(b, self.conf.ut) for b in batches]
+        sh_degree = min(self.n_active_features, self.conf.max_n_features)
+        c0 = cams[0]
+        with_buf = (self.conf.strategy == "gs"
+                    and strat_base.check_step_condition(
+                        self.global_step + 1, 0, self.conf.gs.densify_end,
+                        1))
+        cache_key = ("group", k, with_buf, c0.resolution, c0.model_type,
+                     c0.shutter_type, sh_degree, self.model.capacity,
+                     self._max_pairs)
+        if cache_key not in self._train_step_cache:
+            self._train_step_cache[cache_key] = self._build_train_group(
+                sh_degree, k, with_buf)
+        group_fn = self._train_step_cache[cache_key]
+
+        cams_stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *cams)
+        gts = jnp.stack([jnp.asarray(b.rgb_gt) for b in batches])
+        lrs_stack = {}
+        for j in range(k):
+            for name, v in self.current_lrs(self.global_step + j).items():
+                lrs_stack.setdefault(name, []).append(v)
+        lrs_stack = {name: jnp.asarray(v, jnp.float32)
+                     for name, v in lrs_stack.items()}
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, k)
+        fidxs = jnp.asarray(frame_idxs, jnp.int32)
+
+        if self.conf.strategy == "gs":
+            ga, gd = self.gs_buffers
+        else:
+            ga = gd = jnp.zeros((1,), jnp.float32)
+        new_p, new_o, ga, gd, mstack = group_fn(
+            self._params_dict(), self.opt_state, ga, gd,
+            self.model.n_active, lrs_stack, gts, keys, cams_stacked, fidxs)
+        self._set_params_dict(new_p)
+        self.opt_state = new_o
+        if self.conf.strategy == "gs" and with_buf:
+            self.gs_buffers = gs_strategy.GSBuffers(ga, gd)
+        self._last_cam = cams[-1]
+        self.global_step += k
+
+        mstack = {name: np.asarray(v) for name, v in mstack.items()}
+        if self.writer is not None:
+            base = self.global_step - k
+            for j in range(k):
+                for name, v in mstack.items():
+                    self.writer.add_scalar(f"train/{name}", float(v[j]),
+                                           base + j + 1)
+            self.writer.add_scalar("train/n_gaussians",
+                                   int(self.model.n_active),
+                                   self.global_step)
+        metrics = {name: v[-1] for name, v in mstack.items()}
+        # feed the calibrator the group's peak pair pressure
+        metrics["pairs"] = int(np.max(mstack["pairs"]))
+        metrics["overflow"] = int(np.max(mstack["overflow"]))
+
+        self._post_optimizer_step()
+        self._progressive_features()
+        self._calibrate_pairs(metrics)
+        return metrics
+
     def run_training(self, max_steps: Optional[int] = None,
-                     log_every: int = 0):
+                     log_every: int = 0, group_steps: bool = True):
         n = max_steps or self.conf.n_iterations
         order = None
         t0 = time.time()
@@ -683,9 +882,16 @@ class Trainer:
                 order = list(np.random.default_rng(
                     self.conf.seed + self.global_step).permutation(
                         len(self.dataset)))
-            idx = order.pop()
-            batch = self.dataset[idx]
-            metrics = self.train_iteration(batch, frame_idx=idx)
+            k = (self._plan_group(n, len(order), log_every)
+                 if group_steps else 1)
+            if k > 1:
+                idxs = [order.pop() for _ in range(k)]
+                metrics = self.train_group(
+                    [self.dataset[i] for i in idxs], idxs)
+            else:
+                idx = order.pop()
+                metrics = self.train_iteration(self.dataset[idx],
+                                               frame_idx=idx)
             if log_every and self.global_step % log_every == 0:
                 dt = time.time() - t0
                 print(f"step {self.global_step}: "
@@ -696,8 +902,16 @@ class Trainer:
         return self.metrics_history
 
     def validate(self, dataset=None) -> Dict[str, float]:
+        """Full validation pass. Metric parity with the reference
+        (trainer.py:628-673, render.py:250): PSNR/SSIM always, LPIPS when
+        VGG weights are present, per-ray hit statistics
+        (mean/std/min/max of hits_count), and best/worst frame PSNR."""
+        from ..utils import lpips as lpips_mod
+
         ds = dataset or self.val_dataset or self.dataset
-        psnrs, ssims = [], []
+        psnrs, ssims, lpipss = [], [], []
+        hit_stats = []
+        lpips_params = lpips_mod.load_weights()
         sh_degree = min(self.n_active_features, self.conf.max_n_features)
         for i in range(len(ds)):
             batch = ds[i]
@@ -705,6 +919,9 @@ class Trainer:
             out = render_gut(cam, self.conf.ut, self._raster_cfg(),
                              self.model, sh_degree)
             pred = out["pred_features"]
+            hc = out["hits_count"]
+            hit_stats.append((float(jnp.mean(hc)), float(jnp.std(hc)),
+                              float(jnp.min(hc)), float(jnp.max(hc))))
             if self.decoder is not None:
                 from ..render.common import camera_rays_world
                 _, dirs = camera_rays_world(cam)
@@ -724,13 +941,30 @@ class Trainer:
             psnrs.append(float(psnr(pred, gt)))
             ssims.append(float(ssim(pred.transpose(2, 0, 1)[None],
                                     gt.transpose(2, 0, 1)[None])))
+            if lpips_params is not None:
+                lpipss.append(float(lpips_mod.lpips(
+                    lpips_params, pred.transpose(2, 0, 1)[None],
+                    gt.transpose(2, 0, 1)[None])))
+        hs = np.asarray(hit_stats)
+        best = int(np.argmax(psnrs))
+        worst = int(np.argmin(psnrs))
         result = {"psnr": float(np.mean(psnrs)),
-                  "ssim": float(np.mean(ssims)), "n_views": len(psnrs)}
+                  "ssim": float(np.mean(ssims)), "n_views": len(psnrs),
+                  "psnr_best": float(psnrs[best]), "best_frame": best,
+                  "psnr_worst": float(psnrs[worst]), "worst_frame": worst,
+                  "hits_mean": float(np.mean(hs[:, 0])),
+                  "hits_std": float(np.mean(hs[:, 1])),
+                  "hits_min": float(np.min(hs[:, 2])),
+                  "hits_max": float(np.max(hs[:, 3]))}
+        if lpipss:
+            result["lpips"] = float(np.mean(lpipss))
         if self.writer is not None:
-            self.writer.add_scalar("val/psnr", result["psnr"],
-                                   self.global_step)
-            self.writer.add_scalar("val/ssim", result["ssim"],
-                                   self.global_step)
+            for k in ("psnr", "ssim", "hits_mean", "hits_max"):
+                self.writer.add_scalar(f"val/{k}", result[k],
+                                       self.global_step)
+            if "lpips" in result:
+                self.writer.add_scalar("val/lpips", result["lpips"],
+                                       self.global_step)
         return result
 
     def log_validation_images(self, batch, max_hits: float = 128.0):
