@@ -59,8 +59,8 @@ class TestUSDA:
                                        err_msg=k)
         assert back["sh_degree"] == 2
 
-    def test_binary_gated(self, tmp_path):
-        with pytest.raises(NotImplementedError):
+    def test_usdz_via_usda_writer_rejected(self, tmp_path):
+        with pytest.raises(ValueError):
             usd_mod.export_usda(str(tmp_path / "a.usdz"), _rand_attrs(), 2)
 
     def test_usdz_roundtrip(self, tmp_path):
@@ -291,3 +291,132 @@ class TestTranscodeFormats:
                                    atol=1e-5)
         np.testing.assert_allclose(a2["opacities"], attrs["opacities"],
                                    atol=1e-5)
+
+
+class TestCrate:
+    """Binary usdc via the from-scratch crate serializer
+    (threedgrut_tpu/export/crate.py; reference goes through pxr,
+    export/usd/exporter.py:530)."""
+
+    def test_usdc_roundtrip(self, tmp_path):
+        attrs = _rand_attrs()
+        path = str(tmp_path / "m.usdc")
+        usd_mod.export_usda(path, attrs, sh_degree=2,
+                            cameras=[dict(transform=np.eye(4), focal=50.0)],
+                            background_color=np.zeros(3))
+        back = usd_mod.import_usdc(path)
+        for k in ("positions", "orientations", "scales", "opacities",
+                  "sh_coefficients"):
+            np.testing.assert_array_equal(
+                np.asarray(back[k]).reshape(np.asarray(attrs[k]).shape),
+                attrs[k])
+        assert back["sh_degree"] == 2
+        with open(path, "rb") as f:
+            assert f.read(8) == b"PXR-USDC"
+
+    def test_transcode_usdc(self, tmp_path):
+        from threedgrut_tpu.export import transcode
+        attrs = _rand_attrs()
+        src = str(tmp_path / "m.usdc")
+        usd_mod.export_usda(src, attrs, sh_degree=2)
+        dst = str(tmp_path / "m.ply")
+        transcode.transcode([src], dst)
+        back = transcode.load_any(dst)
+        np.testing.assert_allclose(back["positions"], attrs["positions"],
+                                   atol=1e-5)
+
+    def test_integer_coding_edge_cases(self):
+        from threedgrut_tpu.export import crate
+        for vals in ([], [0], [0xFFFFFFFF], [5, 5, 5, 7, 120000, 3],
+                     list(range(1000)), [2**31 - 1, 0, 0xFFFFFFFF, 17],
+                     [-3, -70000, 12]):
+            enc = crate.encode_ints(vals)
+            dec = crate.decode_ints(enc, len(vals))
+            ref = [((v + 2**31) % 2**32) - 2**31 for v in vals]
+            assert dec == ref, (vals, dec)
+
+    def test_lz4_roundtrip(self):
+        from threedgrut_tpu.export import crate
+        for n in (0, 1, 14, 15, 269, 270, 100000):
+            data = bytes(range(256)) * (n // 256 + 1)
+            data = data[:n]
+            block = crate.lz4_compress_literal(data)
+            assert crate.lz4_decompress(block, n) == data
+
+    @pytest.mark.skipif(
+        not pytest.importorskip("importlib").util.find_spec("pxr"),
+        reason="pxr not installed (validation runs where usd-core exists)")
+    def test_pxr_accepts_crate(self, tmp_path):
+        from pxr import Usd
+        attrs = _rand_attrs()
+        path = str(tmp_path / "m.usdc")
+        usd_mod.export_usda(path, attrs, sh_degree=2)
+        stage = Usd.Stage.Open(path)
+        prim = stage.GetPrimAtPath("/World/gauss")
+        assert prim and prim.GetTypeName() == "ParticleField3DGaussianSplat"
+
+
+class TestNuRec:
+    """Full NuRec USDZ (volume prims + .nurec payload), reference
+    export/usd/nurec/{exporter,serializer,templates}.py parity."""
+
+    def _pre_attrs(self, n=40):
+        rng = np.random.default_rng(3)
+        return dict(
+            positions=rng.normal(size=(n, 3)).astype(np.float32),
+            rotations=rng.normal(size=(n, 4)).astype(np.float32),
+            scales=rng.normal(size=(n, 3)).astype(np.float32),
+            densities=rng.normal(size=(n, 1)).astype(np.float32),
+            features_albedo=rng.normal(size=(n, 3)).astype(np.float32),
+            features_specular=(rng.normal(size=(n, 45)) * 0.1
+                               ).astype(np.float32))
+
+    def test_payload_roundtrip_fp16(self, tmp_path):
+        from threedgrut_tpu.export import nurec
+        attrs = self._pre_attrs()
+        path = str(tmp_path / "scene.usdz")
+        nurec.export_nurec_usdz(path, attrs, 3)
+        back = nurec.import_nurec_usdz(path)
+        for k in attrs:
+            np.testing.assert_allclose(
+                back[k], attrs[k].astype(np.float16).astype(np.float32))
+        assert back["n_active_features"] == 3
+
+    def test_template_schema(self):
+        from threedgrut_tpu.export import nurec
+        attrs = self._pre_attrs(8)
+        t = nurec.build_nre_template(
+            attrs["positions"], attrs["rotations"], attrs["scales"],
+            attrs["densities"], attrs["features_albedo"],
+            attrs["features_specular"], 2, k_buffer_size=16)["nre_data"]
+        assert t["model"] == "nre"
+        cfg = t["config"]
+        assert cfg["layers"]["gaussians"]["name"] == "sh-gaussians"
+        assert cfg["renderer"]["name"] == "3dgut-nrend"
+        assert cfg["renderer"]["render"] == {"mode": "kbuffer",
+                                             "k_buffer_size": 16}
+        assert cfg["renderer"]["projection"]["ut_dim"] == 3
+        sd = t["state_dict"]
+        assert sd[".gaussians_nodes.gaussians.positions.shape"] == [8, 3]
+        assert sd[".gaussians_nodes.gaussians.extra_signal.shape"] == [8, 0]
+
+    def test_volume_layer_prims(self, tmp_path):
+        from threedgrut_tpu.export import nurec
+        import zipfile
+        attrs = self._pre_attrs()
+        path = str(tmp_path / "scene.usdz")
+        nurec.export_nurec_usdz(path, attrs, 3)
+        with zipfile.ZipFile(path) as z:
+            infos = z.infolist()
+            assert infos[0].filename.endswith(".usda")
+            assert all(i.compress_type == zipfile.ZIP_STORED
+                       for i in infos)
+            layer = z.read(infos[0]).decode()
+        for needle in ("def Volume", "omni:nurec:isNuRecVolume",
+                       "omni:nurec:useProxyTransform",
+                       "omni:nurec:crop:minBounds",
+                       'def OmniNuRecFieldAsset "density_field"',
+                       'def OmniNuRecFieldAsset "emissive_color_field"',
+                       "omni:nurec:ccmR", "rel proxy",
+                       "@./gauss.nurec@"):
+            assert needle in layer, needle

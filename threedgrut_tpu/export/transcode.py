@@ -77,6 +77,8 @@ def load_any(path: str) -> dict:
         return raw_to_activated(ply_mod.import_ply(path))
     if path.endswith(".usda"):
         return usd_mod.import_usda(path)
+    if path.endswith(".usdc"):
+        return usd_mod.import_usdc(path)
     if path.endswith(".usdz"):
         return usd_mod.import_usdz(path)
     if path.endswith(".npz"):
@@ -91,7 +93,7 @@ def save_any(path: str, attrs: dict):
                            raw["scale"], raw["density"],
                            raw["features_albedo"], raw["features_specular"])
         return
-    if path.endswith(".usda"):
+    if path.endswith((".usda", ".usdc")):
         usd_mod.export_usda(path, attrs, sh_degree=attrs.get("sh_degree", 3))
         return
     if path.endswith(".usdz"):

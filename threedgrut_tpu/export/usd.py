@@ -101,12 +101,91 @@ def export_usda(path: str, attrs: Dict[str, np.ndarray], sh_degree: int,
         out.write('    }\n')
 
     out.write('}\n')
-    if path.endswith((".usdc", ".usdz")):
-        raise NotImplementedError(
-            "binary USD output requires the pxr runtime (unavailable); "
-            "write .usda instead")
+    if path.endswith(".usdc"):
+        return export_usdc(path, attrs, sh_degree, cameras=cameras,
+                           background_color=background_color,
+                           sorting_mode_hint=sorting_mode_hint)
+    if path.endswith(".usdz"):
+        raise ValueError("use export_usdz for usdz containers")
     with open(path, "w") as f:
         f.write(out.getvalue())
+
+
+def export_usdc(path: str, attrs: Dict[str, np.ndarray], sh_degree: int,
+                cameras: Optional[List[dict]] = None,
+                background_color: Optional[np.ndarray] = None,
+                sorting_mode_hint: str = "cameraDistance"):
+    """Binary crate (.usdc) twin of export_usda: same ParticleField
+    prim layout through the from-scratch crate serializer
+    (threedgrut_tpu/export/crate.py; reference export goes through pxr,
+    export/usd/exporter.py:530)."""
+    from . import crate
+
+    pos = np.asarray(attrs["positions"], np.float32)
+    sh = np.asarray(attrs["sh_coefficients"], np.float32)
+    w = crate.CrateWriter()
+    gauss = crate.Prim(
+        path="/World/gauss", type_name="ParticleField3DGaussianSplat",
+        attributes={
+            "extent": crate.vec3f_array(
+                np.stack([pos.min(0), pos.max(0)])),
+            "numParticles": crate.Attribute(crate.TYPE_INT, pos.shape[0]),
+            "sortingModeHint": crate.token_attr(sorting_mode_hint),
+            "positions": crate.vec3f_array(pos),
+            "orientations": crate.quatf_array(attrs["orientations"]),
+            "scales": crate.vec3f_array(attrs["scales"]),
+            "opacities": crate.float_array(attrs["opacities"]),
+            "radianceSphericalHarmonicsDegree": crate.Attribute(
+                crate.TYPE_INT, sh_degree),
+            "radianceSphericalHarmonicsCoefficients": crate.float_array(
+                sh.reshape(-1)),
+        })
+    world = crate.Prim(path="/World", type_name="Xform")
+    w.add_prim(world)
+    w.add_prim(gauss)
+    extra_roots = []
+    if background_color is not None:
+        bg = np.asarray(background_color, np.float32)
+        w.add_prim(crate.Prim(
+            path="/World/Render", type_name="Scope",
+            attributes={"backgroundColor": crate.Attribute(
+                crate.TYPE_VEC3F, bg.reshape(1, 3), is_array=True)}))
+    for i, cam in enumerate(cameras or []):
+        w.add_prim(crate.Prim(
+            path=f"/World/camera_{i}", type_name="Camera",
+            attributes={
+                "xformOp:transform": crate.Attribute(
+                    crate.TYPE_MATRIX4D,
+                    np.asarray(cam["transform"], np.float64)),
+                "focalLength": crate.Attribute(
+                    crate.TYPE_FLOAT, float(cam.get("focal", 35.0))),
+            }))
+    w.add_pseudo_root(
+        ["World"] + extra_roots,
+        metadata={"defaultPrim": crate.token_attr("World"),
+                  "upAxis": crate.token_attr("Y")})
+    w.write(path)
+    return path
+
+
+def import_usdc(path: str) -> dict:
+    """Read a ParticleField crate file written by export_usdc."""
+    from . import crate
+
+    r = crate.read(path)
+    prims = r.prims()
+    gauss = next(v for k, v in prims.items()
+                 if v.get("typeName") == "ParticleField3DGaussianSplat")
+    a = gauss["attrs"]
+    return dict(
+        positions=np.asarray(a["positions"], np.float32),
+        orientations=np.asarray(a["orientations"], np.float32),
+        scales=np.asarray(a["scales"], np.float32),
+        opacities=np.asarray(a["opacities"], np.float32).reshape(-1),
+        sh_coefficients=np.asarray(
+            a["radianceSphericalHarmonicsCoefficients"],
+            np.float32).reshape(len(a["positions"]), -1, 3),
+        sh_degree=int(a["radianceSphericalHarmonicsDegree"]))
 
 
 def _parse_tuple_array(text: str, per: int) -> np.ndarray:
