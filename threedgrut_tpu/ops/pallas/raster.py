@@ -188,19 +188,24 @@ def _fast_operands(rec, ray_d):
     its gather, and the gradient fold stay 16 rows wide):
 
       N  = [a]x M   (9 rows)  ->  c = a x (M d) = N d      (3 matmuls)
-      p6 = MxM^T M quadratic-form monomial coeffs (6 rows)
-                    -> |M d|^2 = dmono . p6                 (1 matmul)
       u  = M^T a    (3 rows)  ->  a . (M d) = u . d         (1 matmul)
 
-    replacing the per-(pixel, pair) cross product / norm / dot VPU chains
-    of the b-based path. Conditioning matches the cross-product form: c
-    comes out of the matmul directly at its own magnitude (each c
-    component is the same 2-term difference of O(|a||M|) products the VPU
-    cross product evaluates), not via the cancelling |a|^2|b|^2 - (a.b)^2
-    expansion.
+    |M d|^2 itself is computed from the b = M d components (3 matmuls
+    against M's record rows) as a SUM OF SQUARES — never through the
+    quadratic-form monomial expansion dmono . p6: that form cancels
+    catastrophically for needle-like particles (scale ratio >~ 3e3)
+    when the ray runs along the long axis, yielding m <= 0, inf
+    reciprocals, and 0*inf = NaN gradients that the fold's suffix sums
+    then spread across whole 256-lane chunks (root cause of the
+    round-2 convergence collapse; the reference computes dot(grd, grd)
+    directly, gaussianParticles.cuh:377-383, which is the same
+    non-negative sum-of-squares form).
 
-    Returns (n_mat [9+pad, K], p6_mat [8, K], u_mat [8, K],
-             dmono [256, 8]).
+    Conditioning of c matches the cross-product form: each component is
+    a 2-term difference of O(|a||M|) products, not the cancelling
+    |a|^2|b|^2 - (a.b)^2 expansion.
+
+    Returns (n_mat [9+pad, K], u_mat [8, K]).
     """
     ax, ay, az = _row(rec, _GRO), _row(rec, _GRO + 1), _row(rec, _GRO + 2)
     mr = [[_row(rec, _M + 3 * i + j) for j in range(3)] for i in range(3)]
@@ -213,22 +218,9 @@ def _fast_operands(rec, ray_d):
         n_rows.append(ax * mr[1][j] - ay * mr[0][j])
     n_mat = _stack_rows(n_rows, 16)
 
-    def col_dot(j, l):
-        return (mr[0][j] * mr[0][l] + mr[1][j] * mr[1][l]
-                + mr[2][j] * mr[2][l])
-
-    p6 = [col_dot(0, 0), col_dot(1, 1), col_dot(2, 2),
-          2.0 * col_dot(0, 1), 2.0 * col_dot(0, 2), 2.0 * col_dot(1, 2)]
-    p6_mat = _stack_rows(p6, 8)
     u = [ax * mr[0][j] + ay * mr[1][j] + az * mr[2][j] for j in range(3)]
     u_mat = _stack_rows(u, 8)
-
-    dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
-    zero = jnp.zeros_like(dx)
-    dmono = jnp.concatenate(
-        [dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz,
-         zero, zero], axis=1)
-    return n_mat, p6_mat, u_mat, dmono
+    return n_mat, u_mat
 
 
 def _alpha_from_response(response, density, cfg: RasterKernelConfig):
@@ -363,14 +355,14 @@ def chunk_hits_fast(rec, ray_d, cfg: RasterKernelConfig,
                                    preferred_element_type=jnp.float32)
 
     if not (need_canonical or need_normals):
-        # hot path (constant features): c, |b|^2 and a.b all ride the MXU
-        # against in-kernel-derived per-particle operands; no b, no VPU
-        # cross product (see _fast_operands). Five separate small
-        # matmuls MEASURED faster than one fused [256,16]@[16,5K] call
-        # (fwd 14.6 vs 20.6 ms — the wide intermediate + rhs assembly
-        # relayouts cost more than the extra pipeline starts save). The
-        # acceptance test is a single compare in squared-distance space.
-        n_mat, p6_mat, u_mat, dmono = _fast_operands(rec, ray_d)
+        # hot path (constant features): c, b and a.b all ride the MXU
+        # against in-kernel-derived per-particle operands (see
+        # _fast_operands; separate small matmuls MEASURED faster than
+        # one fused [256,16]@[16,5K] call — fwd 14.6 vs 20.6 ms). |b|^2
+        # is a sum of squares of the b components (cancellation-safe —
+        # see _fast_operands docstring). The acceptance test is a
+        # single compare in squared-distance space.
+        n_mat, u_mat = _fast_operands(rec, ray_d)
 
         def ddot(op, rows0):
             return jax.lax.dot_general(ray_d, op[rows0:rows0 + 3, :],
@@ -378,10 +370,10 @@ def chunk_hits_fast(rec, ray_d, cfg: RasterKernelConfig,
                                        preferred_element_type=jnp.float32)
 
         cx, cy, cz = ddot(n_mat, 0), ddot(n_mat, 3), ddot(n_mat, 6)
-        m = jax.lax.dot_general(dmono, p6_mat, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        bx, by, bz = mdot(_M), mdot(_M + 3), mdot(_M + 6)
+        m = bx * bx + by * by + bz * bz
         q = ddot(u_mat, 0)
-        inv_m = 1.0 / m
+        inv_m = 1.0 / jnp.maximum(m, 1e-30)
         sq_dist = (cx * cx + cy * cy + cz * cz) * inv_m
         dens = _row(rec, cfg.density_row)
         if cfg.kernel_degree == 0:
@@ -404,7 +396,7 @@ def chunk_hits_fast(rec, ray_d, cfg: RasterKernelConfig,
     cy = az * bx - ax * bz
     cz = ax * by - ay * bx
     m = bx * bx + by * by + bz * bz
-    inv_m = 1.0 / m
+    inv_m = 1.0 / jnp.maximum(m, 1e-30)
     sq_dist = (cx * cx + cy * cy + cz * cz) * inv_m
     response = particle_response(sq_dist, cfg.kernel_degree)
     alpha = _alpha_from_response(response, _row(rec, cfg.density_row), cfg)
@@ -990,7 +982,7 @@ def _rows16_put(acc, rows_iota, r0, piece_1k):
 def _fast_fwd_vals(rec, ray_d, cfg: RasterKernelConfig):
     """chunk_hits_fast MXU path inlined to expose intermediates for the
     hand-derived backward passes."""
-    n_mat, p6_mat, u_mat, dmono = _fast_operands(rec, ray_d)
+    n_mat, u_mat = _fast_operands(rec, ray_d)
 
     def ddot(op, rows0):
         return jax.lax.dot_general(ray_d, op[rows0:rows0 + 3, :],
@@ -998,10 +990,12 @@ def _fast_fwd_vals(rec, ray_d, cfg: RasterKernelConfig):
                                    preferred_element_type=jnp.float32)
 
     cx, cy, cz = ddot(n_mat, 0), ddot(n_mat, 3), ddot(n_mat, 6)
-    m = jax.lax.dot_general(dmono, p6_mat, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    # b = M d componentwise; m = |b|^2 as a sum of squares (NEVER the
+    # p6 monomial expansion — see _fast_operands)
+    bx, by, bz = ddot(rec, _M), ddot(rec, _M + 3), ddot(rec, _M + 6)
+    m = bx * bx + by * by + bz * bz
     q = ddot(u_mat, 0)
-    inv_m = 1.0 / m
+    inv_m = 1.0 / jnp.maximum(m, 1e-30)
     c2 = cx * cx + cy * cy + cz * cz
     sq = c2 * inv_m
     resp = particle_response(sq, cfg.kernel_degree)
@@ -1009,16 +1003,17 @@ def _fast_fwd_vals(rec, ray_d, cfg: RasterKernelConfig):
     alpha_raw = resp * dens
     alpha = jnp.minimum(cfg.max_alpha, alpha_raw)
     hit_t = -q * inv_m
-    return (dmono, cx, cy, cz, q, inv_m, c2, sq, resp, dens, alpha_raw,
-            alpha, hit_t)
+    return ((bx, by, bz), cx, cy, cz, q, inv_m, c2, sq, resp, dens,
+            alpha_raw, alpha, hit_t)
 
 
-def _fast_pullback(rec, ray_d, dmono, cx, cy, cz, q, inv_m, c2, sq, resp,
+def _fast_pullback(rec, ray_d, b3, cx, cy, cz, q, inv_m, c2, sq, resp,
                    dens, alpha_raw, g_alpha, g_ht_full, w, g_feat,
                    cfg: RasterKernelConfig):
     """Hand pullback of (g_alpha, g_hit_t, feature-sum) cotangents in
     UNSORTED lane order to the 16-row record fields (see _fast_operands
-    for the forward factorization)."""
+    for the forward factorization). ``b3`` is the (bx, by, bz) = M d
+    component triple from _fast_fwd_vals."""
     f = cfg.feat_dim
     k = rec.shape[1]
     g_eff = jnp.where(alpha_raw < cfg.max_alpha, g_alpha, 0.0)  # min()
@@ -1036,29 +1031,29 @@ def _fast_pullback(rec, ray_d, dmono, cx, cy, cz, q, inv_m, c2, sq, resp,
 
     # reductions to the per-particle operands, all MXU contractions over
     # the pixel dim (no explicit transpose, which Mosaic dislikes for
-    # narrow [256,3] tiles): d_N rows via ray_d^T @ d_c, d_p6 via
-    # dmono^T @ d_m, d_u via ray_d^T @ d_q
+    # narrow [256,3] tiles): d_N rows via ray_d^T @ d_c, d_M rows via
+    # ray_d^T @ (2 b_i d_m) [m = sum b_i^2], d_u via ray_d^T @ d_q
     def rdot(dc):
         return jax.lax.dot_general(ray_d, dc, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
     d_n0, d_n1, d_n2 = rdot(d_cx), rdot(d_cy), rdot(d_cz)        # [3,K]
-    d_p6 = jax.lax.dot_general(dmono, d_m, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # [8,K]
+    bx, by, bz = b3
+    d_b = [rdot(2.0 * bx * d_m), rdot(2.0 * by * d_m),
+           rdot(2.0 * bz * d_m)]                                 # 3x [3,K]
     d_u = rdot(d_q)                                              # [3,K]
     d_feats = jax.lax.dot_general(
         g_feat, w, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                      # [F,K]
 
     # per-particle chain back to the 16-row record fields ([1,K] ops):
-    #   N = [a]x M, p6 = quadratic form of M^T M, u = M^T a
+    #   N = [a]x M, b = M d (m = |b|^2), u = M^T a
     ax, ay, az = _row(rec, _GRO), _row(rec, _GRO + 1), _row(rec, _GRO + 2)
     mr = [[_row(rec, _M + 3 * i + j) for j in range(3)]
           for i in range(3)]
     dn = [[d_n0[j:j + 1, :] for j in range(3)],
           [d_n1[j:j + 1, :] for j in range(3)],
           [d_n2[j:j + 1, :] for j in range(3)]]
-    dp = [d_p6[i:i + 1, :] for i in range(6)]
     du = [d_u[j:j + 1, :] for j in range(3)]
 
     d_a = [jnp.zeros_like(ax) for _ in range(3)]
@@ -1078,15 +1073,11 @@ def _fast_pullback(rec, ray_d, dmono, cx, cy, cz, q, inv_m, c2, sq, resp,
         d_mr[2][j] += -ax * dn[1][j]
         d_mr[1][j] += ax * dn[2][j]
         d_mr[0][j] += -ay * dn[2][j]
-    # p6 = [c0.c0, c1.c1, c2.c2, 2c0.c1, 2c0.c2, 2c1.c2] over M columns:
-    # d_M[i,0] = 2(dp0 Mi0 + dp3 Mi1 + dp4 Mi2), etc.
+    # m = sum_i b_i^2 with b_i = sum_j M[i,j] d_j:
+    # d_M[i,j] = sum_pix d_j * (2 b_i d_m) = rdot(2 b_i d_m)[j]
     for i in range(3):
-        d_mr[i][0] += 2.0 * (dp[0] * mr[i][0] + dp[3] * mr[i][1]
-                             + dp[4] * mr[i][2])
-        d_mr[i][1] += 2.0 * (dp[1] * mr[i][1] + dp[3] * mr[i][0]
-                             + dp[5] * mr[i][2])
-        d_mr[i][2] += 2.0 * (dp[2] * mr[i][2] + dp[4] * mr[i][0]
-                             + dp[5] * mr[i][1])
+        for j in range(3):
+            d_mr[i][j] += d_b[i][j:j + 1, :]
     # u_j = sum_i a_i M[i,j]
     a_rows = (ax, ay, az)
     for i in range(3):
@@ -1122,7 +1113,7 @@ def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     Returns (d_rec [R,K], t_out [256,1], psi_sum [256,1]).
     """
     f = cfg.feat_dim
-    (dmono, cx, cy, cz, q, inv_m, c2, sq, resp, dens, alpha_raw, alpha,
+    (b3, cx, cy, cz, q, inv_m, c2, sq, resp, dens, alpha_raw, alpha,
      hit_t) = _fast_fwd_vals(rec, ray_d, cfg)
     if cfg.kernel_degree == 0:
         accept = (resp > cfg.min_response) & (alpha > cfg.min_alpha)
@@ -1160,7 +1151,7 @@ def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
         active, t_prev * u - (suffix + g_t * t_final) * inv_1ma, 0.0)
     g_ht_full = jnp.where(active, g_depth * w, 0.0)
 
-    d_rec = _fast_pullback(rec, ray_d, dmono, cx, cy, cz, q, inv_m, c2,
+    d_rec = _fast_pullback(rec, ray_d, b3, cx, cy, cz, q, inv_m, c2,
                            sq, resp, dens, alpha_raw, g_alpha, g_ht_full,
                            w, g_feat, cfg)
     return d_rec, t_out, psi_sum
@@ -1183,7 +1174,7 @@ def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     Returns (d_rec [R,K], t_out [256,1], psi_sum [256,1]).
     """
     f = cfg.feat_dim
-    (dmono, cx, cy, cz, q, inv_m, c2, sq, resp, dens, alpha_raw, alpha,
+    (b3, cx, cy, cz, q, inv_m, c2, sq, resp, dens, alpha_raw, alpha,
      hit_t) = _fast_fwd_vals(rec, ray_d, cfg)
     if cfg.kernel_degree == 0:
         accept = (resp > cfg.min_response) & (alpha > cfg.min_alpha)
@@ -1236,7 +1227,7 @@ def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
         idx_s, [g_alpha_s, w_s], window=cfg.sort_window)
     g_ht_full = jnp.where(w > 0.0, g_depth * w, 0.0)
 
-    d_rec = _fast_pullback(rec, ray_d, dmono, cx, cy, cz, q, inv_m, c2,
+    d_rec = _fast_pullback(rec, ray_d, b3, cx, cy, cz, q, inv_m, c2,
                            sq, resp, dens, alpha_raw, g_alpha, g_ht_full,
                            w, g_feat, cfg)
     return d_rec, t_out, psi_sum
