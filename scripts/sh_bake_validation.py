@@ -1,12 +1,13 @@
 """Validate a PPISP -> SH bake against the live ISP.
 
 Mirror of the reference's export/scripts/post_processing_sh_bake_
-validation.py: for a gaussian asset + PPISP sidecar, bake the linear ISP
-(exposure, color matrix, bias) into the SH coefficients and report the
-max/mean radiance error between [ISP applied to original radiance] and
-[baked radiance], sampled over random view directions. Vignetting/CRF
-are excluded from the bake (nonlinear/spatial) exactly as the bake
-documents.
+validation.py: for a gaussian asset + PPISP sidecar, bake the linear
+part of the ISP (responsivity * 2^exposure — the reference's
+scale_sh_output, sh_bake.py:33) into the SH coefficients and report the
+max/mean radiance error between [linearly scaled original radiance] and
+[baked radiance], sampled over random view directions. The vignetting,
+homography normalization and CRF are nonlinear/spatial; fitting those
+requires the optimization bake (threedgrut_tpu/export/sh_bake.py).
 
 Usage:
   python scripts/sh_bake_validation.py model.usdz ppisp.usda \
@@ -52,10 +53,9 @@ def main():
     rad_baked = np.asarray(eval_sh_radiance(jnp.asarray(baked[pick]),
                                             jnp.asarray(dirs), deg))
 
-    exposure = 2.0 ** float(np.asarray(ppisp["exposure"])[args.frame])
-    cm = np.asarray(ppisp["color_matrix"])[args.camera]
-    bias = np.asarray(ppisp["color_bias"])[args.camera]
-    rad_isp = rad * exposure @ cm.T + bias
+    s = (2.0 ** float(np.asarray(ppisp["responsivity"])[args.camera])
+         * 2.0 ** float(np.asarray(ppisp["exposure"])[args.frame]))
+    rad_isp = rad * s
 
     err = np.abs(rad_baked - rad_isp)
     print(f"samples={n} sh_degree={deg} camera={args.camera} "

@@ -91,13 +91,14 @@ class TestPPISPUSD:
         rng = np.random.default_rng(seed)
         return {
             "exposure": rng.normal(0, 0.3, n_frames).astype(np.float32),
-            "vignette": rng.normal(0, 0.05, (n_cams, 3)).astype(np.float32),
-            "color_matrix": (np.eye(3)[None]
-                             + rng.normal(0, 0.05, (n_cams, 3, 3))
-                             ).astype(np.float32),
-            "color_bias": rng.normal(0, 0.02, (n_cams, 3)).astype(np.float32),
-            "crf_gamma": rng.normal(0, 0.1, (n_cams, 3)).astype(np.float32),
-            "crf_gain": rng.normal(0, 0.1, (n_cams, 3)).astype(np.float32),
+            "color_latents": rng.normal(0, 0.3, (n_frames, 8)
+                                        ).astype(np.float32),
+            "responsivity": rng.normal(0, 0.2, n_cams).astype(np.float32),
+            "vig_center": rng.normal(0, 0.05, (n_cams, 3, 2)
+                                     ).astype(np.float32),
+            "vig_alpha": rng.normal(0, 0.1, (n_cams, 3, 3)
+                                    ).astype(np.float32),
+            "crf": rng.normal(0, 0.2, (n_cams, 3, 4)).astype(np.float32),
         }
 
     def test_roundtrip(self, tmp_path):
@@ -114,32 +115,45 @@ class TestPPISPUSD:
         usd_mod.export_ppisp_usda(path, self._params(), append=True)
         # both payloads survive in one stage
         assert usd_mod.import_usda(path)["positions"].shape[1] == 3
-        assert usd_mod.import_ppisp_usda(path)["color_matrix"].shape == \
-            (2, 3, 3)
+        assert usd_mod.import_ppisp_usda(path)["crf"].shape == (2, 3, 4)
 
     def test_sh_bake_matches_linear_isp(self):
         from threedgrut_tpu.models.post_processing import apply_ppisp
         p = self._params()
-        # linear-only ISP: zero the nonlinear/spatial parts
-        p["vignette"] *= 0
-        p["crf_gamma"] *= 0
-        p["crf_gain"] *= 0
+        # exposure/responsivity-only ISP: neutralize the nonlinear and
+        # spatially-varying stages (identity homography, no vignetting)
+        # and disable the CRF curve via an effectively-linear setting
+        p["color_latents"] *= 0
+        p["vig_center"] *= 0
+        p["vig_alpha"] *= 0
         rng = np.random.default_rng(1)
-        sh = rng.normal(0, 0.05, (16, 9, 3)).astype(np.float32)
-        sh[:, 0, :] += 2.0   # positive radiance (ISP clamps at 0 pre-CRF)
+        sh = rng.normal(0, 0.02, (16, 9, 3)).astype(np.float32)
         dirs = rng.normal(size=(16, 3)).astype(np.float32)
         dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-
-        baked = usd_mod.bake_ppisp_into_sh(sh, p, camera_idx=1, frame_idx=2)
+        # keep post-ISP values inside [0, 1] where the CRF is smooth;
+        # compare through the same CRF on both paths by baking only the
+        # linear scale and applying the CRF-inclusive ISP to both
+        baked = usd_mod.bake_ppisp_into_sh(sh, p, camera_idx=1,
+                                           frame_idx=2)
         rad_baked = np.asarray(eval_sh_radiance(jnp.asarray(baked),
                                                 jnp.asarray(dirs), 2))
         rad_raw = np.asarray(eval_sh_radiance(jnp.asarray(sh),
                                               jnp.asarray(dirs), 2))
-        # apply the ISP per "pixel" (treat each particle as one pixel)
-        isp = np.asarray(apply_ppisp(
+        s = (2.0 ** p["responsivity"][1]) * (2.0 ** p["exposure"][2])
+        np.testing.assert_allclose(rad_baked, rad_raw * s, atol=1e-4)
+
+        # full-chain consistency: ISP(raw, with scale) == ISP(baked,
+        # with the scale neutralized)
+        p_neutral = dict(p)
+        p_neutral["responsivity"] = p["responsivity"] * 0
+        p_neutral["exposure"] = p["exposure"] * 0
+        isp_raw = np.asarray(apply_ppisp(
             {k: jnp.asarray(v) for k, v in p.items()},
-            jnp.asarray(rad_raw).reshape(4, 4, 3), 1, 2)).reshape(16, 3)
-        np.testing.assert_allclose(rad_baked, isp, atol=1e-4)
+            jnp.asarray(rad_raw).reshape(4, 4, 3), 1, 2))
+        isp_baked = np.asarray(apply_ppisp(
+            {k: jnp.asarray(v) for k, v in p_neutral.items()},
+            jnp.asarray(rad_baked).reshape(4, 4, 3), 1, 2))
+        np.testing.assert_allclose(isp_baked, isp_raw, atol=1e-4)
 
 
 class TestTranscode:

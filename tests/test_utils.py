@@ -44,18 +44,35 @@ class TestJetMap:
 
 
 class TestPPISP:
-    def test_identity_at_init(self):
+    def test_init_is_neutral_tonemap(self):
+        # SPG-chain init is the shader's neutral start (identity
+        # homography / unit vignette / neutral CRF), NOT numerical
+        # identity: a uniform input maps to a uniform, channel-equal,
+        # frame-independent output (ppisp_usd_spg.cu:199 chain).
         params = init_ppisp_params(2, 4)
         rgb = jnp.full((8, 8, 3), 0.42)
-        out = apply_ppisp(params, rgb, camera_idx=0, frame_idx=1)
-        np.testing.assert_allclose(np.asarray(out), 0.42, atol=1e-4)
+        out = np.asarray(apply_ppisp(params, rgb, camera_idx=0,
+                                     frame_idx=1))
+        assert np.isfinite(out).all()
+        np.testing.assert_allclose(out, out[0, 0, 0], atol=1e-5)
+        out2 = np.asarray(apply_ppisp(params, rgb, 1, 3))
+        np.testing.assert_allclose(out, out2, atol=1e-6)
 
-    def test_exposure_scales(self):
+    def test_init_monotone(self):
+        params = init_ppisp_params(1, 1)
+        levels = np.linspace(0.05, 0.95, 7, dtype=np.float32)
+        outs = [float(np.asarray(apply_ppisp(
+            params, jnp.full((4, 4, 3), float(v)), 0, 0))[0, 0, 0])
+            for v in levels]
+        assert all(b > a for a, b in zip(outs, outs[1:]))
+
+    def test_exposure_brightens(self):
         params = init_ppisp_params(1, 2)
-        params["exposure"] = params["exposure"].at[0].set(1.0)  # 2x
         rgb = jnp.full((4, 4, 3), 0.25)
-        out = apply_ppisp(params, rgb, 0, 0)
-        np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-4)
+        base = float(np.asarray(apply_ppisp(params, rgb, 0, 0)).mean())
+        params["exposure"] = params["exposure"].at[0].set(1.0)  # +1 EV
+        out = float(np.asarray(apply_ppisp(params, rgb, 0, 0)).mean())
+        assert out > base * 1.2
 
     def test_trainable(self):
         params = init_ppisp_params(1, 1)
@@ -76,8 +93,12 @@ class TestPPISP:
 
     def test_controller(self):
         ctrl = PPISPController(n_cameras=3)
-        out = ctrl.predict(ctrl.params, 1, jnp.asarray([0.0, 0.0, 1.0]))
-        assert out.shape == (7,)
+        img = jnp.full((30, 30, 3), 0.3)
+        exposure, latents = ctrl.predict(ctrl.params, img, 0.25)
+        assert exposure.shape == ()
+        assert latents.shape == (8,)
+        assert bool(jnp.isfinite(exposure)) and bool(
+            jnp.isfinite(latents).all())
 
 
 class TestTimers:

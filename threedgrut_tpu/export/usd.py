@@ -337,24 +337,24 @@ def export_ppisp_usda(path: str, ppisp_params: Dict,
     per-camera custom attributes in usda text.
     """
     p = {k: np.asarray(v, np.float32) for k, v in ppisp_params.items()}
-    n_cams = p["vignette"].shape[0]
+    n_cams = p["responsivity"].shape[0]
     out = io.StringIO()
     if not append:
         out.write('#usda 1.0\n(\n    defaultPrim = "PPISP"\n)\n\n')
     out.write('def Scope "PPISP"\n{\n')
     out.write(f'    custom int numCameras = {n_cams}\n')
+    out.write('    custom float[] responsivityLog2 = '
+              + _fmt_floats(p["responsivity"].reshape(-1, 1), 1) + "\n")
     out.write('    custom float[] exposureLog2 = '
               + _fmt_floats(p["exposure"].reshape(-1, 1), 1) + "\n")
-    out.write('    custom float3[] vignetteCoefficients = '
-              + _fmt_floats(p["vignette"], 3) + "\n")
-    out.write('    custom float[] colorMatrix = '
-              + _fmt_floats(p["color_matrix"].reshape(-1, 1), 1) + "\n")
-    out.write('    custom float3[] colorBias = '
-              + _fmt_floats(p["color_bias"], 3) + "\n")
-    out.write('    custom float3[] crfGamma = '
-              + _fmt_floats(p["crf_gamma"], 3) + "\n")
-    out.write('    custom float3[] crfGain = '
-              + _fmt_floats(p["crf_gain"], 3) + "\n")
+    out.write('    custom float2[] vignettingCenters = '
+              + _fmt_floats(p["vig_center"].reshape(-1, 2), 2) + "\n")
+    out.write('    custom float3[] vignettingAlphas = '
+              + _fmt_floats(p["vig_alpha"].reshape(-1, 3), 3) + "\n")
+    out.write('    custom float[] colorLatents = '
+              + _fmt_floats(p["color_latents"].reshape(-1, 1), 1) + "\n")
+    out.write('    custom float4[] crfParams = '
+              + _fmt_floats(p["crf"].reshape(-1, 4), 4) + "\n")
     out.write('}\n')
     mode = "a" if append else "w"
     with open(path, mode) as f:
@@ -372,17 +372,20 @@ def import_ppisp_usda(path: str) -> Dict:
         end = text.index("]", start)
         return text[start + 1:end]
 
-    cm = _parse_tuple_array(grab("float[] colorMatrix"), 1)[:, 0]
-    n_cams = cm.size // 9
+    resp = _parse_tuple_array(grab("float[] responsivityLog2"), 1)[:, 0]
+    n_cams = resp.size
+    lat = _parse_tuple_array(grab("float[] colorLatents"), 1)[:, 0]
     return {
+        "responsivity": resp,
         "exposure": _parse_tuple_array(grab("float[] exposureLog2"),
                                        1)[:, 0],
-        "vignette": _parse_tuple_array(grab("float3[] vignetteCoefficients"),
-                                       3),
-        "color_matrix": cm.reshape(n_cams, 3, 3),
-        "color_bias": _parse_tuple_array(grab("float3[] colorBias"), 3),
-        "crf_gamma": _parse_tuple_array(grab("float3[] crfGamma"), 3),
-        "crf_gain": _parse_tuple_array(grab("float3[] crfGain"), 3),
+        "vig_center": _parse_tuple_array(grab("float2[] vignettingCenters"),
+                                         2).reshape(n_cams, 3, 2),
+        "vig_alpha": _parse_tuple_array(grab("float3[] vignettingAlphas"),
+                                        3).reshape(n_cams, 3, 3),
+        "color_latents": lat.reshape(-1, 8),
+        "crf": _parse_tuple_array(grab("float4[] crfParams"),
+                                  4).reshape(n_cams, 3, 4),
     }
 
 
@@ -391,23 +394,20 @@ def bake_ppisp_into_sh(sh: np.ndarray, ppisp_params: Dict,
                        frame_idx: int = 0) -> np.ndarray:
     """Fold the LINEAR part of a camera's ISP into SH coefficients.
 
-    Radiance is linear in the SH coefficients, so exposure and the 3x3
-    color matrix commute with SH evaluation and can be baked for export
-    (viewers then replay the capture look without the ISP). The color
-    bias shifts only the DC term (scaled by 1/SH_C0). Vignetting and the
-    CRF are spatially-varying / nonlinear and cannot be represented in
-    SH; they are intentionally left out (same restriction as the
-    reference's export-time bake).
+    Radiance is linear in the SH coefficients, so the responsivity and
+    exposure scale commute with SH evaluation and can be baked for
+    export (the reference's scale_sh_output, export/usd/post_processing/
+    sh_bake.py:33, with the same DC-offset compensation: the +0.5 in the
+    SH radiance convention must also be scaled). The vignetting,
+    homography normalization and CRF are spatially-varying / nonlinear;
+    fitting those needs the optimization bake in export/sh_bake.py.
     """
     sh = np.asarray(sh, np.float32)            # [N, K, 3]
-    exposure = 2.0 ** float(np.asarray(ppisp_params["exposure"])[frame_idx])
-    cm = np.asarray(ppisp_params["color_matrix"])[camera_idx]  # [3,3]
-    bias = np.asarray(ppisp_params["color_bias"])[camera_idx]  # [3]
-    out = np.einsum("ij,nkj->nki", cm, sh * exposure)
-    # radiance convention is SH_lin + 0.5 (ops/sh.py): the offset passes
-    # through the ISP too, so the DC term absorbs cm@(exp*0.5) + bias - 0.5
-    const = cm @ np.full(3, 0.5 * exposure, np.float32) + bias - 0.5
-    out[:, 0, :] += const / 0.28209479177387814  # SH_C0
+    s = (2.0 ** float(np.asarray(ppisp_params["responsivity"])[camera_idx])
+         * 2.0 ** float(np.asarray(ppisp_params["exposure"])[frame_idx]))
+    out = sh * s
+    # rgb = SH_lin + 0.5: scale the implicit offset through the DC term
+    out[:, 0, :] += (s - 1.0) * 0.5 / 0.28209479177387814  # SH_C0
     return out
 
 

@@ -671,31 +671,40 @@ class Trainer:
 
     # --- PPISP controller distillation ----------------------------------
 
-    def distill_ppisp_controller(self, steps: Optional[int] = None):
-        """Post-training phase: distill the learned per-frame ISP into a
-        view-conditioned controller MLP so novel (validation) views get
-        predicted corrections (reference trainer.py:1126-1130 /
-        n_distillation_steps)."""
+    def distill_ppisp_controller(self, steps: Optional[int] = None,
+                                 max_frames: int = 32,
+                                 downsample: int = 4):
+        """Post-training phase: distill the learned per-frame ISP params
+        into the image-conditioned controller CNN so novel (validation)
+        views get predicted corrections (reference trainer.py:486
+        distillation mode: the controller consumes the rendered HDR
+        color and predicts exposure + color latents).
+
+        Renders up to ``max_frames`` training views with the frozen
+        model (downsampled — the controller max-pools by 3 and average-
+        pools to 5x5, so full resolution adds nothing), then fits the
+        CNN outputs to the trained per-frame (exposure, color_latents).
+        """
         if self.ppisp_params is None or not self.conf.ppisp_use_controller:
             return None
         from ..models.post_processing import PPISPController
         steps = steps or self.conf.ppisp_n_distillation_steps
 
-        # per-frame inputs: camera one-hot (single camera) + world-space
-        # view direction of the frame
-        poses = np.asarray(self.dataset.get_poses())      # [F, 4, 4] c2w
-        dirs = poses[:, :3, 2]
-        dirs = dirs / np.maximum(
-            np.linalg.norm(dirs, axis=1, keepdims=True), 1e-12)
-        f = dirs.shape[0]
-        x = jnp.concatenate([jnp.ones((f, 1), jnp.float32),
-                             jnp.asarray(dirs, jnp.float32)], axis=1)
+        n_frames = min(len(self.dataset), max_frames)
+        sh_degree = min(self.n_active_features, self.conf.max_n_features)
+        raster_cfg = self._raster_cfg()
+        imgs = []
+        for i in range(n_frames):
+            batch = self.dataset[i]
+            cam = camera_from_batch(batch, self.conf.ut)
+            out = render_gut(cam, self.conf.ut, raster_cfg, self.model,
+                             sh_degree)
+            img = out["pred_features"][::downsample, ::downsample, :3]
+            imgs.append(img)
+        imgs = jnp.stack(imgs)                            # [F, h, w, 3]
         p = self.ppisp_params
-        targets = jnp.concatenate([
-            jnp.asarray(p["exposure"])[:f, None],
-            jnp.broadcast_to(jnp.asarray(p["vignette"])[0], (f, 3)),
-            jnp.broadcast_to(jnp.asarray(p["color_bias"])[0], (f, 3)),
-        ], axis=1)                                        # [F, 7]
+        t_exp = jnp.asarray(p["exposure"])[:n_frames]
+        t_lat = jnp.asarray(p["color_latents"])[:n_frames]
 
         ctrl = PPISPController(n_cameras=1, seed=self.conf.seed)
         import optax
@@ -705,8 +714,11 @@ class Trainer:
         @jax.jit
         def update(params, opt):
             def loss(pr):
-                pred = ctrl.module.apply(pr, x)
-                return jnp.mean((pred - targets) ** 2)
+                def one(img, te, tl):
+                    e, c = ctrl.module.apply(pr, img, jnp.zeros(()))
+                    return (e - te) ** 2 + jnp.mean((c - tl) ** 2)
+                return jnp.mean(jax.vmap(
+                    lambda im, te, tl: one(im, te, tl))(imgs, t_exp, t_lat))
             l, g = jax.value_and_grad(loss)(params)
             updates, opt = tx.update(g, opt)
             return optax.apply_updates(params, updates), opt, l
@@ -715,31 +727,24 @@ class Trainer:
         for _ in range(steps):
             ctrl.params, opt, loss = update(ctrl.params, opt)
         self.ppisp_controller = ctrl
+        self._ppisp_distill_downsample = downsample
         return float(loss) if loss is not None else None
 
     def _apply_ppisp_eval(self, pred, cam):
-        """Validation-time ISP: controller-predicted per-view corrections
-        (if distilled) on top of the trained per-camera transform."""
+        """Validation-time ISP: controller-predicted per-frame params
+        (if distilled) through the trained per-camera transform; without
+        a controller the per-frame terms stay neutral."""
         from ..models.post_processing import apply_ppisp
         p = {k: jnp.asarray(v) for k, v in self.ppisp_params.items()}
         if self.ppisp_controller is not None:
-            # camera forward axis in world: cam.q_start encodes R_wc, so
-            # +z_cam in world = R_wc^T e_z = third row of R_wc
-            from ..ops.quaternion import quat_to_rotmat
-            fwd = np.asarray(quat_to_rotmat(cam.q_start[None]))[0][2, :]
-            fwd = fwd / max(np.linalg.norm(fwd), 1e-12)
-            x = jnp.concatenate([jnp.ones((1,), jnp.float32),
-                                 jnp.asarray(fwd, jnp.float32)])
-            out = self.ppisp_controller.module.apply(
-                self.ppisp_controller.params, x[None])[0]
-            p = dict(p)
-            p["exposure"] = out[0:1]
-            p["vignette"] = out[1:4][None]
-            p["color_bias"] = out[4:7][None]
-        else:
-            p = dict(p)
-            p["exposure"] = jnp.zeros((1,), jnp.float32)  # neutral
-        return apply_ppisp(p, pred, 0, 0)
+            ds = getattr(self, "_ppisp_distill_downsample", 4)
+            exposure, latents = self.ppisp_controller.predict(
+                self.ppisp_controller.params, pred[::ds, ::ds, :3], 0.0)
+            return apply_ppisp(p, pred, 0, 0, exposure=exposure,
+                               color_latents=latents)
+        return apply_ppisp(p, pred, 0, 0,
+                           exposure=jnp.zeros(()),
+                           color_latents=jnp.zeros((8,)))
 
     # ------------------------------------------------------------------
 
