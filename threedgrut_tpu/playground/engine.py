@@ -36,16 +36,19 @@ class PBRMaterial:
     metallic: float = 0.0
     ior: float = 1.45
     emissive: tuple = (0.0, 0.0, 0.0)
+    transmission: float = 0.0      # PBR refraction lobe weight
 
 
 @dataclasses.dataclass
 class EngineConfig:
     max_bounces: int = 4
     spp: int = 1
+    spp_mode: str = "msaa"         # none|independent_random|msaa|low_discrepancy_seq
     aperture: float = 0.0          # depth of field (0 = pinhole)
     focus_distance: float = 3.0
     use_envmap: bool = True
     gaussian_sh_degree: int = 3
+    denoise: bool = False          # à-trous wavelet pass on the frame
 
 
 class EnvironmentMap:
@@ -126,12 +129,17 @@ class Engine3DGRUT:
             metallic=jnp.asarray([m.metallic for m in mats], jnp.float32),
             ior=jnp.asarray([m.ior for m in mats], jnp.float32),
             emissive=jnp.asarray([m.emissive for m in mats], jnp.float32),
+            transmission=jnp.asarray([m.transmission for m in mats],
+                                     jnp.float32),
         )
 
     # --- rendering ------------------------------------------------------
     def render_rays(self, ray_o: jnp.ndarray, ray_d: jnp.ndarray,
-                    key=None) -> jnp.ndarray:
+                    key=None, frame_number: int = 0) -> jnp.ndarray:
         """Path-trace a flat batch of rays -> RGB [R, 3]."""
+        from .materials import sample_microfacet_brdf
+        from .sampling import pcg3d_float
+
         cfg = self.config
         soup = self._get_soup()
         mats = self._material_arrays()
@@ -142,6 +150,7 @@ class Engine3DGRUT:
         alive = jnp.ones(r, bool)
         o, d = ray_o, ray_d
         key = key if key is not None else jax.random.PRNGKey(0)
+        ray_idx = jnp.arange(r, dtype=jnp.uint32)
 
         for bounce in range(cfg.max_bounces):
             t_hit, tri, normal, mat_id = soup.closest_hit(o, d)
@@ -175,53 +184,104 @@ class Engine3DGRUT:
             eta = 1.0 / mats["ior"][m]
             refr_d, _ = _refract(d, normal, eta[:, None])
             refl_d = _reflect(d, normal)
-            # diffuse/pbr terminate with env-lit base color (single-bounce
-            # approximation of the reference's cosine scatter)
+            # diffuse solids terminate with env-lit base color (the
+            # reference's flat get_diffuse_color shading for non-PBR
+            # solids, materials.cuh:39)
             n_dot = jnp.abs(jnp.sum(normal * d, axis=-1, keepdims=True))
             diffuse_rgb = base * self.envmap.sample(normal) * n_dot
             is_glass = kind == 2
             is_mirror = kind == 1
-            is_spec = is_glass | is_mirror
+            is_pbr = kind == 3
+            continues = is_glass | is_mirror | is_pbr
 
             radiance = radiance + jnp.where(
-                (alive & ~is_spec)[:, None], throughput * diffuse_rgb, 0.0)
-            alive = alive & is_spec
+                (alive & ~continues)[:, None],
+                throughput * diffuse_rgb, 0.0)
+            alive = alive & continues
 
-            new_d = jnp.where(is_glass[:, None], refr_d, refl_d)
+            # PBR: stochastic microfacet bounce (materials.cuh:248) with
+            # the reference's PCG3D per-(pixel, frame, bounce) seeding
+            rand3 = pcg3d_float(jnp.stack(
+                [ray_idx,
+                 jnp.full((r,), frame_number, jnp.uint32),
+                 jnp.full((r,), bounce + 1, jnp.uint32)], axis=-1))
+            pbr_d, pbr_factor = sample_microfacet_brdf(
+                -d, normal, base, mats["metallic"][m][:, None],
+                mats["roughness"][m][:, None],
+                mats["transmission"][m][:, None],
+                mats["ior"][m][:, None], rand3)
+
+            new_d = jnp.where(is_pbr[:, None], pbr_d,
+                              jnp.where(is_glass[:, None], refr_d, refl_d))
             new_d = new_d / jnp.maximum(
                 jnp.linalg.norm(new_d, axis=-1, keepdims=True), 1e-12)
             o = hit_p + new_d * 1e-3
             d = new_d
+            factor = jnp.where(is_pbr[:, None], pbr_factor, base)
             throughput = throughput * jnp.where(
-                alive[:, None], base, 1.0)
+                alive[:, None], factor, 1.0)
 
-        # leftover specular paths: shade with env
+        # leftover paths: shade with env
         radiance = radiance + jnp.where(alive[:, None],
                                         throughput * self.envmap.sample(d),
                                         0.0)
         return radiance
 
-    def render(self, cam, key=None) -> np.ndarray:
-        """Render a full camera frame with SPP accumulation + DoF."""
+    def render_progressive(self, cam, key=None):
+        """Generator of progressively-accumulated frames (the
+        reference's has_more_to_accumulate render loop, engine.py:1005):
+        yields the running [H, W, 3] average after every SPP batch so a
+        GUI can display refinement; antialiasing jitter comes from the
+        configured SPP mode and aperture sampling from the DoF sampler."""
         from ..render.common import camera_rays_world
+        from .sampling import SPP, DepthOfField
 
         cfg = self.config
         key = key if key is not None else jax.random.PRNGKey(0)
         ro, rd = camera_rays_world(cam)
         h, w = ro.shape[:2]
+
+        spp = SPP(mode=cfg.spp_mode, spp=cfg.spp)
+        dof = (DepthOfField(spp=cfg.spp, aperture_size=cfg.aperture,
+                            focus_z=cfg.focus_distance)
+               if cfg.aperture > 0.0 else None)
+
+        # pixel-space basis for subpixel jitter: d(ray)/d(pixel)
+        dx = rd[:, 1:, :] - rd[:, :-1, :]
+        dx = jnp.concatenate([dx, dx[:, -1:, :]], axis=1)
+        dy = rd[1:, :, :] - rd[:-1, :, :]
+        dy = jnp.concatenate([dy, dy[-1:, :, :]], axis=0)
+        # camera frame for the aperture disc
+        right = dx.reshape(-1, 3)[0]
+        right = right / jnp.maximum(jnp.linalg.norm(right), 1e-12)
+        up = dy.reshape(-1, 3)[0]
+        up = up / jnp.maximum(jnp.linalg.norm(up), 1e-12)
+
         acc = jnp.zeros((h * w, 3))
-        for s in range(cfg.spp):
-            key, k1, k2 = jax.random.split(key, 3)
+        n = 0
+        spp.reset_accumulation()
+        while spp.has_more_to_accumulate():
+            key, k2 = jax.random.split(key)
+            jitter = spp(h, w)
+            d = rd + jitter[..., 0:1] * dx + jitter[..., 1:2] * dy
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
             o = ro.reshape(-1, 3)
-            d = rd.reshape(-1, 3)
-            if cfg.aperture > 0.0:
-                # thin-lens DoF (engine.py DoF path)
-                focus_p = o + d * cfg.focus_distance
-                jitter = (jax.random.uniform(k1, (h * w, 2)) - 0.5) \
-                    * cfg.aperture
-                o = o.at[:, 0:2].add(jitter)
-                d = focus_p - o
-                d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-            acc = acc + self.render_rays(o, d, key=k2)
-        img = (acc / cfg.spp).reshape(h, w, 3)
-        return np.asarray(jnp.clip(img, 0.0, 1.0))
+            d = d.reshape(-1, 3)
+            if dof is not None:
+                o, d = dof(right, up, o, d)
+            acc = acc + self.render_rays(o, d, key=k2, frame_number=n)
+            n += 1
+            yield np.asarray(
+                jnp.clip((acc / n).reshape(h, w, 3), 0.0, 1.0))
+
+    def render(self, cam, key=None) -> np.ndarray:
+        """Render a full camera frame with SPP accumulation + DoF and
+        the optional à-trous denoise pass."""
+        img = None
+        for img in self.render_progressive(cam, key=key):
+            pass
+        if self.config.denoise:
+            from .denoise import atrous_denoise
+            img = np.asarray(jnp.clip(
+                atrous_denoise(jnp.asarray(img)), 0.0, 1.0))
+        return img
