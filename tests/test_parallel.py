@@ -46,12 +46,13 @@ def test_dp_matches_single_device():
     gt = jnp.asarray(rng.uniform(0, 1, (res[1], res[0], 3)).astype(np.float32))
     lrs = {k: jnp.asarray(1e-3, jnp.float32) for k in params_d}
 
-    # L1-only: band-wise SSIM excludes windows crossing band boundaries
-    # (a documented approximation), which would make the comparison unfair
+    # SSIM enabled: the halo-row ppermute exchange makes band-sharded
+    # SSIM EXACT (windows crossing band boundaries are computed by the
+    # center-owning band), so the full default loss must match
     mesh_multi = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
     step_multi = make_dp_train_step(mesh_multi, cam, UTConfig(),
                                     RasterConfig(max_pairs=1 << 12), model,
-                                    sh_degree=1, loss_lambda_ssim=0.0)
+                                    sh_degree=1, loss_lambda_ssim=0.2)
     p_m = replicate_to_mesh(mesh_multi, params_d)
     o_m = replicate_to_mesh(mesh_multi, init_adam_state(params_d))
     new_m, _, metrics_m = step_multi(p_m, o_m, lrs,
@@ -61,7 +62,7 @@ def test_dp_matches_single_device():
     mesh_one = Mesh(np.array(jax.devices()[:1]), ("dp",))
     step_one = make_dp_train_step(mesh_one, cam, UTConfig(),
                                   RasterConfig(max_pairs=1 << 12), model,
-                                  sh_degree=1, loss_lambda_ssim=0.0)
+                                  sh_degree=1, loss_lambda_ssim=0.2)
     p_1 = replicate_to_mesh(mesh_one, params_d)
     o_1 = replicate_to_mesh(mesh_one, init_adam_state(params_d))
     new_1, _, metrics_1 = step_one(p_1, o_1, lrs,

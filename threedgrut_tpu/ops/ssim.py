@@ -53,8 +53,9 @@ def _blur(img, size: int):
     return jnp.einsum("bckw,wl->bckl", out, bw, precision="high")
 
 
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
-    """Mean SSIM over the valid region. Inputs: [B, C, H, W] in [0,1]."""
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
+    """Per-window SSIM over the valid region. Inputs: [B, C, H, W] in
+    [0,1]; returns [B, C, H-ws+1, W-ws+1]."""
     c = img1.shape[1]
     # one batched depthwise conv over all five moment maps (5x fewer conv
     # dispatches than blurring each map separately)
@@ -71,7 +72,12 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
     sigma12 = m12 - mu12
     num = (2.0 * mu12 + C1) * (2.0 * sigma12 + C2)
     den = (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
-    return jnp.mean(num / den)
+    return num / den
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
+    """Mean SSIM over the valid region. Inputs: [B, C, H, W] in [0,1]."""
+    return jnp.mean(ssim_map(img1, img2, window_size))
 
 
 def psnr(pred: jnp.ndarray, gt: jnp.ndarray, max_val: float = 1.0):

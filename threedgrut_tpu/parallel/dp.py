@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import background as bg_mod
 from ..models.gaussians import GaussianState
 from ..ops.cameras import CameraModel
-from ..ops.ssim import ssim
+from ..ops.ssim import ssim_map
 from ..ops.ut import UTConfig
 from ..optimizers import adam as adam_mod
 from ..render.common import RasterConfig
@@ -62,6 +62,25 @@ def make_dp_train_step(mesh: Mesh, cam_template: CameraModel,
     band_h = full_h // n_dev
     band_cam_static = band_camera(cam_template, band_h)
 
+    window = 11
+    radius = window // 2
+    full_w = cam_template.resolution[0]
+    # total valid 11x11 windows of the FULL image (exact fused-ssim
+    # semantics; see device_loss halo exchange)
+    n_windows = 3 * (full_h - window + 1) * (full_w - window + 1)
+
+    def _halo_rows(x, r):
+        """Ring-exchange r edge rows with band neighbors (differentiable
+        ppermute; gradients flow back to the producing device). The
+        wrap-around rows at the outer image edges only feed windows that
+        the validity mask drops."""
+        n = jax.lax.axis_size("dp")
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        top_halo = jax.lax.ppermute(x[-r:], "dp", fwd)   # prev's bottom
+        bot_halo = jax.lax.ppermute(x[:r], "dp", bwd)    # next's top
+        return jnp.concatenate([top_halo, x, bot_halo], axis=0)
+
     def device_loss(params_d, rgb_gt_band, n_active, cam):
         """Runs per device inside shard_map; rgb_gt_band: [band_h, W, 3]."""
         dev = jax.lax.axis_index("dp")
@@ -81,18 +100,33 @@ def make_dp_train_step(mesh: Mesh, cam_template: CameraModel,
         out = render_gut(cam_b, ut_cfg, raster_cfg, model, sh_degree)
         pred = out["pred_features"]
         l1 = jnp.mean(jnp.abs(pred - rgb_gt_band))
-        s = ssim(pred.transpose(2, 0, 1)[None],
-                 rgb_gt_band.transpose(2, 0, 1)[None])
-        loss = loss_lambda_l1 * l1 + loss_lambda_ssim * (1.0 - s)
-        # mean over devices = mean over image (equal-sized bands)
-        return jnp.mean(loss), l1
+        # EXACT full-image SSIM: exchange `radius` boundary rows so
+        # windows crossing band boundaries are evaluated by the band
+        # owning their center row, then mask to full-image-valid
+        # windows and normalize by the global window count.
+        pred_ext = _halo_rows(pred, radius)
+        gt_ext = _halo_rows(rgb_gt_band, radius)
+        smap = ssim_map(pred_ext.transpose(2, 0, 1)[None],
+                        gt_ext.transpose(2, 0, 1)[None], window)
+        # map row j <-> window center at full-image row dev*band_h + j
+        centers = dev * band_h + jnp.arange(band_h)
+        valid = ((centers >= radius)
+                 & (centers <= full_h - 1 - radius)).astype(smap.dtype)
+        s = jnp.sum(smap * valid[None, None, :, None]) / n_windows
+        # per-device partial losses; the psum in per_device completes
+        # the image-wide means (grads psum'd identically)
+        loss = (loss_lambda_l1 * l1 / n_dev
+                + loss_lambda_ssim * (1.0 / n_dev - s))
+        return loss, l1
 
     def sharded_grads(params_d, rgb_gt, n_active, cam):
         def per_device(params_d, gt_band, n_active, cam):
             (loss, l1), grads = jax.value_and_grad(
                 device_loss, has_aux=True)(params_d, gt_band, n_active, cam)
-            grads = jax.lax.pmean(grads, "dp")
-            loss = jax.lax.pmean(loss, "dp")
+            # device_loss returns 1/n_dev partial losses -> SUM completes
+            # the image-wide loss and its gradient
+            grads = jax.lax.psum(grads, "dp")
+            loss = jax.lax.psum(loss, "dp")
             l1 = jax.lax.pmean(l1, "dp")
             return loss, l1, grads
 
