@@ -69,9 +69,9 @@ def make_trainer(strategy="gs", **conf_kw):
     pts = rng.uniform(-1.2, 1.2, (96, 3)).astype(np.float32)
     pts[:, 2] = rng.uniform(3.0, 5.5, 96)
     model = initialize_from_points(cfg, pts, capacity=256)
+    conf_kw.setdefault("raster", RasterConfig(max_pairs=1 << 13))
     conf = TrainerConfig(
         strategy=strategy,
-        raster=RasterConfig(max_pairs=1 << 13),
         init_n_features=0, max_n_features=2, increase_frequency=10,
         **conf_kw)
     conf.gs = conf.gs.replace(densify_start=5, densify_frequency=8,
@@ -257,3 +257,33 @@ class TestGroupedDispatch:
         tr.run_training(max_steps=10, group_steps=True)
         m = tr.validate()
         assert np.isfinite(m["psnr"])
+
+
+class Test3DGRTAppConfig:
+    """The 3dgrt app YAML must reach the kernel with 3DGRT semantics
+    (VERDICT: trainer bypasses render_grt's defaults, so the config
+    must pin them; reference configs/base_3dgrt.yaml kernel degree 4,
+    min_transmittance 1e-3, sorted compositing)."""
+
+    def _tconf(self):
+        from threedgrut_tpu.config.loader import load_config, to_trainer_config
+        conf = load_config("apps/nerf_synthetic_3dgrt",
+                           overrides=["path=/nonexistent"])
+        return to_trainer_config(conf)
+
+    def test_render_config_pins_3dgrt_semantics(self):
+        t = self._tconf()
+        assert t.raster.kernel_degree == 4
+        assert t.raster.sorted_compositing is True
+        assert abs(t.raster.min_transmittance - 1e-3) < 1e-9
+        assert t.ut.alpha_threshold == pytest.approx(1.0 / 255.0)
+
+    @pytest.mark.slow
+    def test_trainer_runs_sorted_kernel(self):
+        t = self._tconf()
+        tr = make_trainer("gs", raster=t.raster.replace(
+            max_pairs=1 << 13, sort_window=32))
+        assert tr.conf.raster.sorted_compositing
+        for step in range(2):
+            m = tr.train_iteration(tr.dataset[step])
+            assert np.isfinite(m["total"])
