@@ -249,6 +249,7 @@ class Trainer:
         }
         self._train_step_cache: Dict[Any, Any] = {}
         self.metrics_history = []
+        self.train_wall_time = 0.0   # cumulative run_training seconds
         # pair-budget auto-calibration state
         self._max_pairs = conf.raster.max_pairs
         self._peak_pairs = 0
@@ -904,6 +905,7 @@ class Trainer:
                       f"psnr={metrics['psnr']:.2f} "
                       f"n={int(self.model.n_active)} "
                       f"({self.global_step / dt:.1f} it/s)")
+        self.train_wall_time += time.time() - t0
         return self.metrics_history
 
     def validate(self, dataset=None) -> Dict[str, float]:

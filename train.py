@@ -151,7 +151,16 @@ def main():
         export_model(trainer.model, conf.export_ply.path
                      or os.path.join(out_dir, "export_last.ply"))
     if conf.test_last and val_dataset is not None:
-        print("final:", trainer.validate())
+        final = trainer.validate()
+        print("final:", final)
+        # machine-readable stats for scripts/benchmark/print_stats.sh
+        import json
+        with open(os.path.join(out_dir, "final_metrics.json"), "w") as f:
+            json.dump({**{k: float(v) for k, v in final.items()
+                          if isinstance(v, (int, float))},
+                       "train_time_s": trainer.train_wall_time,
+                       "n_iterations": int(trainer.global_step),
+                       "n_gaussians": int(trainer.model.n_active)}, f)
 
 
 if __name__ == "__main__":
