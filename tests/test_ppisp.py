@@ -179,3 +179,109 @@ class TestSHBake:
         np.testing.assert_allclose(r2, 2.0 * r1, atol=1e-6)
         np.testing.assert_allclose(np.asarray(s2),
                                    2.0 * np.asarray(spec), atol=1e-7)
+
+
+class TestViewInterpolation:
+    def _ring_poses(self, n=12, radius=4.0, jitter=0.0, seed=0):
+        """Inward-looking cameras on a circle, returned SHUFFLED."""
+        rng = np.random.default_rng(seed)
+        poses = []
+        for a in np.linspace(0, 2 * np.pi, n, endpoint=False):
+            pos = np.array([radius * np.cos(a), radius * np.sin(a), 0.0])
+            pos += rng.normal(0, jitter, 3)
+            fwd = -pos / np.linalg.norm(pos)
+            up = np.array([0.0, 0.0, 1.0])
+            right = np.cross(up, fwd)
+            right /= np.linalg.norm(right)
+            upv = np.cross(fwd, right)
+            p = np.eye(4)
+            p[:3, 0], p[:3, 1], p[:3, 2], p[:3, 3] = right, upv, fwd, pos
+            poses.append(p)
+        perm = rng.permutation(n)
+        return np.stack(poses)[perm], perm
+
+    def test_ordering_recovers_ring(self):
+        from threedgrut_tpu.export.view_interpolation import (
+            order_views_along_trajectory)
+        poses, perm = self._ring_poses()
+        order, cum = order_views_along_trajectory(poses)
+        # the recovered path visits ring neighbors: consecutive original
+        # angular indices differ by 1 (mod n) except at most one seam
+        ring_idx = perm[np.asarray(order)]
+        n = len(ring_idx)
+        steps = (np.diff(ring_idx) % n)
+        non_adjacent = int(np.sum((steps != 1) & (steps != n - 1)))
+        assert non_adjacent <= 1, (ring_idx, steps)
+        assert cum[0] == 0.0 and abs(cum[-1] - 1.0) < 1e-12
+        assert (np.diff(cum) >= 0).all()
+
+    def test_slerp_pose_endpoints_and_rotation(self):
+        from threedgrut_tpu.export.view_interpolation import slerp_pose
+        poses, _ = self._ring_poses(n=4)
+        a, b = poses[0], poses[1]
+        np.testing.assert_allclose(slerp_pose(a, b, 0.0), a, atol=1e-9)
+        np.testing.assert_allclose(slerp_pose(a, b, 1.0), b, atol=1e-9)
+        mid = slerp_pose(a, b, 0.5)
+        r = mid[:3, :3]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-9)
+
+    def test_sampler_brackets_and_lerps(self):
+        from threedgrut_tpu.export.view_interpolation import (
+            TrajectoryViewSampler)
+        poses, _ = self._ring_poses()
+        s = TrajectoryViewSampler(poses)
+        pose, (lo, hi, w) = s.sample(0.37)
+        assert 0.0 <= w <= 1.0 and lo != hi
+        vals = np.arange(len(poses), dtype=np.float64)
+        v = s.interpolate_frame_values(vals, lo, hi, w)
+        assert min(vals[lo], vals[hi]) - 1e-9 <= v <= max(
+            vals[lo], vals[hi]) + 1e-9
+        r = pose[:3, :3]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-9)
+
+
+class TestFisheyeRays:
+    def test_equidistant_mapping_and_mask(self):
+        import jax.numpy as jnp
+        from threedgrut_tpu.playground.engine import fisheye_rays
+        fov = np.pi  # 180 degrees
+        h = w = 64
+        ro, rd, mask = fisheye_rays(np.eye(4), fov, w, h)
+        rd = np.asarray(rd)
+        mask = np.asarray(mask)[..., 0]
+        # center ray along +z
+        c = rd[h // 2, w // 2]
+        assert c[2] > 0.999
+        # angular distance from axis == r * fov/2 for in-fov pixels
+        xs = (np.arange(w) + 0.5) / w * 2 - 1
+        ys = (np.arange(h) + 0.5) / h * 2 - 1
+        r = np.sqrt(xs[None, :] ** 2 + ys[:, None] ** 2)
+        theta = np.arccos(np.clip(rd[..., 2], -1, 1))
+        np.testing.assert_allclose(theta[mask], (r * fov / 2)[mask],
+                                   atol=1e-5)
+        # corners (r > 1) masked out; unit-norm directions
+        assert not mask[0, 0] and mask[h // 2, w // 2]
+        np.testing.assert_allclose(np.linalg.norm(rd, axis=-1), 1.0,
+                                   atol=1e-5)
+
+
+@pytest.mark.slow
+def test_bake_ppisp_trajectory_smoke():
+    """bake_ppisp view_sampling='trajectory' end to end on a tiny scene:
+    synthesized slerped views render, ISP params lerp, loss decreases."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_training import SyntheticDataset, make_trainer
+
+    from threedgrut_tpu.export.sh_bake import bake_ppisp
+    from threedgrut_tpu.ops.ut import UTConfig
+    from threedgrut_tpu.render.common import RasterConfig
+
+    tr = make_trainer("gs")
+    ppisp = P.init_ppisp_params(1, len(tr.dataset))
+    ppisp["exposure"] = ppisp["exposure"].at[:].add(0.3)
+    out = bake_ppisp(tr.model, ppisp, tr.dataset, UTConfig(),
+                     RasterConfig(max_pairs=1 << 13), sh_degree=1,
+                     iters=6, n_views=3, view_sampling="trajectory")
+    assert np.isfinite(out["loss_history"]).all()
+    assert out["loss_history"][-1] <= out["loss_history"][0] * 1.5

@@ -104,19 +104,53 @@ def bake_post_processing(render_fn: Callable,
 def bake_ppisp(model, ppisp_params: Dict, dataset, ut_conf, raster_cfg,
                sh_degree: int, frame_indices: Optional[Sequence[int]] = None,
                iters: int = 3000, lr: float = 2e-3,
+               view_sampling: str = "training", n_views: int = 8,
                log_every: int = 0) -> Dict:
     """Convenience wrapper: bake the trained PPISP of a 3DGUT model.
 
     Renders through render_gut on the frozen geometry; the warm start is
     the mean linear scale over the selected frames.
+
+    view_sampling (reference sh_bake.py view_sampling):
+      * ``"training"`` — fit on the selected training views directly.
+      * ``"trajectory"`` — order the training views along a smooth path
+        and fit on ``n_views`` poses slerped along it, with per-frame
+        ISP params lerped by the same segment weight
+        (export/view_interpolation.py).
     """
+    import dataclasses
+
     from ..models.post_processing import apply_ppisp
     from ..render.gut import render_gut
     from ..train.trainer import camera_from_batch
 
-    idxs = list(frame_indices if frame_indices is not None
-                else range(min(len(dataset), 8)))
-    cams = [camera_from_batch(dataset[i], ut_conf) for i in idxs]
+    if view_sampling == "trajectory":
+        from .view_interpolation import TrajectoryViewSampler
+        poses = np.asarray(dataset.get_poses())
+        sampler = TrajectoryViewSampler(poses)
+        template = dataset[0]
+        cams, isp_overrides = [], []
+        exp = np.asarray(ppisp_params["exposure"])
+        lat = np.asarray(ppisp_params["color_latents"])
+        for t in np.linspace(0.0, 1.0, n_views):
+            pose, (lo, hi, s) = sampler.sample(float(t))
+            b = dataclasses.replace(template,
+                                    T_to_world=pose.astype(np.float32))
+            cams.append(camera_from_batch(b, ut_conf))
+            isp_overrides.append((
+                jnp.asarray(sampler.interpolate_frame_values(exp, lo, hi, s),
+                            jnp.float32),
+                jnp.asarray(sampler.interpolate_frame_values(lat, lo, hi, s),
+                            jnp.float32)))
+        exp_for_warm = np.asarray([float(e) for e, _ in isp_overrides])
+    elif view_sampling == "training":
+        idxs = list(frame_indices if frame_indices is not None
+                    else range(min(len(dataset), n_views)))
+        cams = [camera_from_batch(dataset[i], ut_conf) for i in idxs]
+        isp_overrides = [(None, None)] * len(idxs)
+        exp_for_warm = np.asarray(ppisp_params["exposure"])[np.asarray(idxs)]
+    else:
+        raise ValueError(f"unknown view_sampling mode {view_sampling!r}")
 
     def render_fn(alb, spec, fr_idx):
         m = model.replace(params=model.params.replace(
@@ -125,14 +159,15 @@ def bake_ppisp(model, ppisp_params: Dict, dataset, ut_conf, raster_cfg,
                           sh_degree)["pred_features"]
 
     def isp_fn(rgb, fr_idx):
-        return apply_ppisp(ppisp_params, rgb, 0, idxs[fr_idx])
+        e_ov, l_ov = isp_overrides[fr_idx]
+        frame = (idxs[fr_idx] if view_sampling == "training" else 0)
+        return apply_ppisp(ppisp_params, rgb, 0, frame,
+                           exposure=e_ov, color_latents=l_ov)
 
     resp = float(np.asarray(ppisp_params["responsivity"])[0])
-    mean_exp = float(np.mean(np.asarray(
-        ppisp_params["exposure"])[np.asarray(idxs)]))
-    warm = 2.0 ** (resp + mean_exp)
+    warm = 2.0 ** (resp + float(np.mean(exp_for_warm)))
 
     return bake_post_processing(
         render_fn, isp_fn, model.params.features_albedo,
-        model.params.features_specular, list(range(len(idxs))),
+        model.params.features_specular, list(range(len(cams))),
         iters=iters, lr=lr, warm_start_scale=warm, log_every=log_every)

@@ -285,3 +285,49 @@ class Engine3DGRUT:
             img = np.asarray(jnp.clip(
                 atrous_denoise(jnp.asarray(img)), 0.0, 1.0))
         return img
+
+    def render_fisheye(self, c2w: np.ndarray, fov: float,
+                       width: int, height: int, key=None) -> np.ndarray:
+        """Ideal wide-angle (equidistant) fisheye frame: out-of-fov
+        pixels render black (reference playground _raygen_fisheye +
+        mask compositing, engine.py:1362/1096)."""
+        ro, rd, mask = fisheye_rays(c2w, fov, width, height)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        rgb = self.render_rays(ro.reshape(-1, 3), rd.reshape(-1, 3),
+                               key=key).reshape(height, width, 3)
+        rgb = jnp.where(mask, rgb, 0.0)
+        return np.asarray(jnp.clip(rgb, 0.0, 1.0))
+
+
+def fisheye_rays(c2w: np.ndarray, fov: float, width: int, height: int,
+                 eps: float = 1e-9):
+    """Equidistant ("perfect") fisheye ray generation.
+
+    Angular distance from the optical axis is proportional to the radial
+    NDC distance (theta = r * fov / 2), so equal world angles are equally
+    spaced in the image; pixels with r > 1 fall outside the field of view
+    (reference playground utils/kaolin_future/fisheye.py
+    generate_fisheye_rays semantics).
+
+    Args:
+        c2w: [4, 4] (or [3, 4]) camera-to-world transform, camera looks
+            down +z with +x right / +y down.
+        fov: full field of view in radians (may exceed pi).
+    Returns:
+        (ray_o [H, W, 3], ray_d [H, W, 3] world-space, mask [H, W, 1]).
+    """
+    c2w = jnp.asarray(c2w, jnp.float32)
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
+    u = jnp.broadcast_to(xs[None, :], (height, width))
+    v = jnp.broadcast_to(ys[:, None], (height, width))
+    r = jnp.sqrt(u * u + v * v)
+    mask = (r <= 1.0)[..., None]
+    phi = jnp.arctan2(v, jnp.where(r > eps, u, 1.0))
+    theta = r * fov * 0.5
+    d_cam = jnp.stack([jnp.cos(phi) * jnp.sin(theta),
+                       jnp.sin(phi) * jnp.sin(theta),
+                       jnp.cos(theta)], axis=-1)
+    rd = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], d_cam)
+    ro = jnp.broadcast_to(c2w[:3, 3], (height, width, 3))
+    return ro, rd, mask
