@@ -116,3 +116,45 @@ class TestSortedBackwardParity:
             scale = np.abs(b).max() + 1e-10
             np.testing.assert_allclose(a / scale, b / scale, atol=2e-3,
                                        err_msg=f"grad mismatch: {name}")
+
+
+class TestBf16Records:
+    def test_forward_close_to_f32(self):
+        cam, model = make_test_scene(n=96, seed=0, res=(64, 48))
+        rc16 = RasterConfig(max_pairs=1 << 14, records_bf16=True)
+        ref = render_gut(cam, UT, RC, model, sh_degree=3, interpret=True)
+        got = render_gut(cam, UT, rc16, model, sh_degree=3, interpret=True)
+        # bf16 quantizes the canonical-frame geometry (~0.2% relative)
+        # -> borderline hits shift; almost all pixels stay at the
+        # quantization level, a small tail flips acceptance
+        diff = np.abs(np.asarray(got["pred_features"])
+                      - np.asarray(ref["pred_features"]))
+        assert np.quantile(diff, 0.99) < 2e-2, np.quantile(diff, 0.99)
+        assert diff.max() < 0.2, diff.max()
+        do = np.abs(np.asarray(got["pred_opacity"])
+                    - np.asarray(ref["pred_opacity"]))
+        assert np.quantile(do, 0.99) < 5e-2 and do.max() < 0.2
+
+    def test_gradients_close_and_f32(self):
+        cam, model = make_test_scene(n=48, seed=3, res=(32, 32))
+        target = jnp.zeros((32, 32, 3))
+
+        def make_loss(rc):
+            def loss(params):
+                m = model.replace(params=params)
+                out = render_gut(cam, UT, rc, m, sh_degree=1,
+                                 interpret=True)
+                return jnp.mean((out["pred_features"] - target) ** 2)
+            return loss
+
+        rc16 = RasterConfig(max_pairs=1 << 14, records_bf16=True)
+        g16 = jax.grad(make_loss(rc16))(model.params)
+        g32 = jax.grad(make_loss(RC))(model.params)
+        for name in ["positions", "scale", "density", "features_albedo"]:
+            a = np.asarray(getattr(g16, name)).ravel()
+            b = np.asarray(getattr(g32, name)).ravel()
+            assert a.dtype == np.float32, name
+            assert np.isfinite(a).all(), name
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
+                                 + 1e-20))
+            assert cos > 0.99, f"bf16 grad direction off for {name}: {cos}"

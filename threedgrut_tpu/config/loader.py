@@ -309,6 +309,8 @@ def to_trainer_config(conf: ConfigNode):
                             or render.get("method") == "3dgrt"),
         sort_window=render.get("sort_window", 64),
         exact_kill=render.get("exact_kill", True),
+        records_bf16=render.get("records_bf16",
+                                render.get("particle_feature_half", False)),
         max_pairs=render.get("max_pairs", 1 << 20))
 
     bgc = model.get("background", {})

@@ -121,6 +121,13 @@ class RasterKernelConfig(NamedTuple):
     # channel (0.03 of an 8-bit quantum) - quality-equivalent, validated
     # by a convergence A/B (NOTES.md round 2).
     exact_kill: bool = True
+    # stream pair records through HBM/VMEM as bfloat16 (halves the
+    # dominant DMA/gather traffic; reference precedent: optional fp16
+    # feature buffers, splatRaster.cpp:205-210 / particle_feature_half).
+    # The cast happens INSIDE the op: gradients and all in-kernel math
+    # stay f32 (records are upcast right after each chunk DMA), so the
+    # custom-VJP boundary keeps f32 records/d_records.
+    records_bf16: bool = False
 
     # --- derived layout ---
     @property
@@ -877,6 +884,8 @@ def _fwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
 
             wait_ready(g)
             rec = chunk_buf[jax.lax.rem(g, 2)]
+            if cfg.records_bf16:
+                rec = rec.astype(jnp.float32)
             g0 = g * CHUNK
             lane_mask = (lane + g0 >= start) & (lane + g0 < end)
             (w, _, hit_t, _, t_out, canonical, hit_feats,
@@ -1458,6 +1467,8 @@ def _bwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
             accum_same = claim_slot(g)
 
             rec = chunk_buf[jax.lax.rem(g, 2)]
+            if cfg.records_bf16:
+                rec = rec.astype(jnp.float32)
             g0 = g * CHUNK
             lane_mask = (lane + g0 >= start) & (lane + g0 < end)
             d_rec, t_out, psi_sum = _bwd_chunk_grads(
@@ -1684,6 +1695,8 @@ def _pad_tiles(tile_start, tile_count, rays, tpb):
 def _pallas_forward(records, tile_start, tile_count, rays, cfg, interpret):
     num_tiles = rays.shape[0]
     strip = _strip_for(cfg)
+    if cfg.records_bf16:
+        records = records.astype(jnp.bfloat16)
     tile_start, tile_count, rays, tp = _pad_tiles(tile_start, tile_count,
                                                   rays, strip)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1698,7 +1711,7 @@ def _pallas_forward(records, tile_start, tile_count, rays, cfg, interpret):
                                lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, cfg.record_dim, CHUNK), jnp.float32),
+            pltpu.VMEM((2, cfg.record_dim, CHUNK), records.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
@@ -1719,6 +1732,8 @@ def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
     n_chunks = records.shape[0]
     num_tiles = rays.shape[0]
     strip = _strip_for(cfg)
+    if cfg.records_bf16:
+        records = records.astype(jnp.bfloat16)
     tile_start, tile_count, rays, tp = _pad_tiles(tile_start, tile_count,
                                                   rays, strip)
     pad = tp - num_tiles
@@ -1739,7 +1754,7 @@ def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, cfg.record_dim, CHUNK), jnp.float32),
+            pltpu.VMEM((2, cfg.record_dim, CHUNK), records.dtype),
             pltpu.VMEM((2, cfg.record_dim, CHUNK), jnp.float32),
             pltpu.VMEM((cfg.record_dim, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

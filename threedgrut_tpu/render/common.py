@@ -43,6 +43,9 @@ class RasterConfig:
     # RasterKernelConfig.exact_kill); False trades <1e-4 per-channel
     # residuals for ~10-13 fewer elementwise ops per chunk visit
     exact_kill: bool = struct.field(pytree_node=False, default=True)
+    # bfloat16 record streaming inside the raster op (see
+    # RasterKernelConfig.records_bf16; reference particle_feature_half)
+    records_bf16: bool = struct.field(pytree_node=False, default=False)
 
 
 def camera_rays_world(cam: CameraModel):

@@ -187,7 +187,8 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         sorted_compositing=raster_cfg.sorted_compositing and not nht,
         sort_window=raster_cfg.sort_window,
         compute_normals=raster_cfg.enable_normals and not nht,
-        exact_kill=raster_cfg.exact_kill)
+        exact_kill=raster_cfg.exact_kill,
+        records_bf16=raster_cfg.records_bf16)
 
     # pair records (differentiable gather from model params), laid out as
     # [C, record_dim, CHUNK] contiguous chunk blocks for single-DMA
