@@ -239,3 +239,34 @@ class TestWindowedBitonic:
                 np.testing.assert_allclose(
                     out_p[:, sl], np.take_along_axis(pay[:, sl], order, 1),
                     rtol=1e-6, err_msg=f"window={window} payload")
+
+
+class TestBitonicReplayUnsort:
+    def test_replay_inverts_permutation(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+
+        from threedgrut_tpu.ops.pallas.raster import (bitonic_replay_unsort,
+                                                      bitonic_sort_by_key)
+
+        rng = np.random.default_rng(1)
+        key = rng.normal(size=(8, 256)).astype(np.float32)
+        pay = rng.normal(size=(8, 256)).astype(np.float32)
+
+        for window in (16, 64, 256):
+            def kern(k_ref, p_ref, out_ref):
+                _, (sp,), masks = bitonic_sort_by_key(
+                    k_ref[...], [p_ref[...]], window=window,
+                    return_masks=True)
+                # transform in the sorted domain, then replay back
+                (up,) = bitonic_replay_unsort(masks, [sp * 2.0])
+                out_ref[...] = up
+
+            out = pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((8, 256), jnp.float32),
+                interpret=True)(jnp.asarray(key), jnp.asarray(pay))
+            # replay must restore ORIGINAL lane order exactly
+            np.testing.assert_array_equal(np.asarray(out), pay * 2.0,
+                                          err_msg=f"window={window}")

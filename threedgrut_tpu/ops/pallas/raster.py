@@ -567,7 +567,8 @@ def _rotl(v, s):
     return _roll_lanes(v, v.shape[1] - s)
 
 
-def bitonic_sort_by_key(key, payloads, window: Optional[int] = None):
+def bitonic_sort_by_key(key, payloads, window: Optional[int] = None,
+                        return_masks: bool = False):
     """Per-row ascending bitonic sort of `key` [256,K], permuting payloads.
 
     Lane-XOR partner exchange is expressed with two rotations per stage
@@ -580,9 +581,14 @@ def bitonic_sort_by_key(key, payloads, window: Optional[int] = None):
     participate). Groups are depth-consecutive candidates, so a W-window
     partition sort is the direct analogue of the reference's W-deep
     k-buffer (gutKBufferRenderer.cuh:62-112, k=16).
+
+    ``return_masks``: also return the per-stage (keep_self, j) exchange
+    decisions for ``bitonic_replay_unsort`` - the cheap inverse
+    permutation (no key movement, no comparisons).
     """
     k_total = window or key.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, key.shape, dimension=1)
+    masks = []
     k = 2
     while k <= k_total:
         ascending = (lane & k) == 0 if k < k_total else jnp.ones(
@@ -599,6 +605,8 @@ def bitonic_sort_by_key(key, payloads, window: Optional[int] = None):
             # lowers to.
             sign = jnp.where(take_min, 1.0, -1.0)
             keep_self = sign * (key_p - key) >= 0.0
+            if return_masks:
+                masks.append((keep_self, j))
             new_key = jnp.where(keep_self, key, key_p)
             new_payloads = []
             for v in payloads:
@@ -607,7 +615,32 @@ def bitonic_sort_by_key(key, payloads, window: Optional[int] = None):
             key, payloads = new_key, new_payloads
             j //= 2
         k *= 2
+    if return_masks:
+        return key, payloads, masks
     return key, payloads
+
+
+def bitonic_replay_unsort(masks, payloads):
+    """Invert a recorded bitonic permutation on ``payloads``.
+
+    Each compare-exchange stage swaps disjoint lane pairs (keep_self is
+    pairwise-consistent), so the stage is an involution: replaying the
+    SAME exchange undoes it. Applying the recorded stages in reverse
+    order therefore restores original lane order at ~1/3 the cost of a
+    second index-keyed sort (no key rotations, no comparisons, and one
+    payload instead of payload+key)."""
+    if not masks:
+        return list(payloads)
+    lane = jax.lax.broadcasted_iota(jnp.int32, masks[0][0].shape,
+                                    dimension=1)
+    payloads = list(payloads)
+    for keep_self, j in reversed(masks):
+        bit_clear = (lane & j) == 0
+        payloads = [
+            jnp.where(keep_self, v,
+                      jnp.where(bit_clear, _rotl(v, j), _rotl(v, -j)))
+            for v in payloads]
+    return payloads
 
 
 # --- prefix scans along the candidate (lane) axis ---------------------------
@@ -672,11 +705,13 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
         if cfg.feature_mode != "constant":
             raise NotImplementedError("sorted compositing requires "
                                       "per-particle (constant) features")
-        lane_f = jax.lax.broadcasted_iota(jnp.int32, alpha.shape,
-                                          1).astype(jnp.float32)
+        # sort only alpha (recording the exchange masks), composite in
+        # depth order, then mask-replay the network in reverse to bring
+        # w back to original lane order - no index payload in the sort
+        # and no key work in the unsort
         key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.0e38))
-        _, (a_s, idx_s) = bitonic_sort_by_key(key, [alpha, lane_f],
-                                              window=cfg.sort_window)
+        _, (a_s,), masks = bitonic_sort_by_key(
+            key, [alpha], window=cfg.sort_window, return_masks=True)
         prefix = _prefix_product_excl(1.0 - a_s)
         t_prev = t_in * prefix
         if cfg.exact_kill:
@@ -691,8 +726,7 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
             alpha_eff = a_s
             w_s = a_s * t_prev
             t_out = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
-        _, (w_u,) = bitonic_sort_by_key(idx_s, [w_s],
-                                        window=cfg.sort_window)
+        (w_u,) = bitonic_replay_unsort(masks, [w_s])
         return (w_u, alpha_eff, hit_t, t_prev, t_out, canonical, None,
                 normals)
 
@@ -1199,11 +1233,9 @@ def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     # rides the sort as ONE payload (phi and hit_t are only ever used
     # through u in the sorted domain)
     u_u = phi_u + g_depth * hit_t
-    lane_f = jax.lax.broadcasted_iota(jnp.int32, alpha.shape,
-                                      1).astype(jnp.float32)
     key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.0e38))
-    _, (a_s, u_s, idx_s) = bitonic_sort_by_key(
-        key, [alpha, u_u, lane_f], window=cfg.sort_window)
+    _, (a_s, u_s), masks = bitonic_sort_by_key(
+        key, [alpha, u_u], window=cfg.sort_window, return_masks=True)
 
     # composite + suffix cotangents in sorted order (mirrors the fwd)
     prefix = _prefix_product_excl(1.0 - a_s)
@@ -1230,10 +1262,10 @@ def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     g_alpha_s = jnp.where(
         active, t_prev * u_s - (suffix + g_t * t_final) * inv_1ma, 0.0)
 
-    # un-permute cotangents back to the original lane order; the hitT
-    # cotangent g_depth*w needs only the un-permuted w
-    _, (g_alpha, w) = bitonic_sort_by_key(
-        idx_s, [g_alpha_s, w_s], window=cfg.sort_window)
+    # un-permute cotangents back to the original lane order via mask
+    # replay (no index payload rides the sort, no key work here); the
+    # hitT cotangent g_depth*w needs only the un-permuted w
+    g_alpha, w = bitonic_replay_unsort(masks, [g_alpha_s, w_s])
     g_ht_full = jnp.where(w > 0.0, g_depth * w, 0.0)
 
     d_rec = _fast_pullback(rec, ray_d, b3, cx, cy, cz, q, inv_m, c2,

@@ -250,6 +250,14 @@ class Trainer:
         self._train_step_cache: Dict[Any, Any] = {}
         self.metrics_history = []
         self.train_wall_time = 0.0   # cumulative run_training seconds
+        # device-resident GT frames [F, H, W, 3]: every host->device
+        # upload LEAKS its size in host RSS through the axon tunnel
+        # (measured ~190 MB/dispatch at bench scale - a 30k-iteration
+        # run OOMs the 125 GB host), so training GT is uploaded ONCE
+        # and indexed on device. None = not built yet; False = dataset
+        # not cacheable (ragged shapes / too large).
+        self._gts_dev: Any = None
+        self.gt_cache_limit_bytes = 6 << 30
         # pair-budget auto-calibration state
         self._max_pairs = conf.raster.max_pairs
         self._peak_pairs = 0
@@ -508,7 +516,31 @@ class Trainer:
 
         return group_fn
 
-    def train_iteration(self, batch, frame_idx: int = 0) -> Dict[str, float]:
+    def _gt_cache(self):
+        """Lazily upload all dataset GT frames to device (one upload)."""
+        if self._gts_dev is None:
+            try:
+                n = len(self.dataset)
+                shapes = {tuple(np.asarray(self.dataset[0].rgb_gt).shape)}
+                nbytes = 0
+                frames = []
+                for i in range(n):
+                    g = np.asarray(self.dataset[i].rgb_gt, np.float32)
+                    shapes.add(g.shape)
+                    nbytes += g.nbytes
+                    frames.append(g)
+                    if len(shapes) > 1 or nbytes > self.gt_cache_limit_bytes:
+                        break
+                if len(shapes) == 1 and nbytes <= self.gt_cache_limit_bytes:
+                    self._gts_dev = jnp.asarray(np.stack(frames))
+                else:
+                    self._gts_dev = False
+            except Exception:
+                self._gts_dev = False
+        return self._gts_dev
+
+    def train_iteration(self, batch, frame_idx: int = 0,
+                        gt_dev=None) -> Dict[str, float]:
         cam = camera_from_batch(batch, self.conf.ut)
         sh_degree = min(self.n_active_features, self.conf.max_n_features)
         cache_key = (cam.resolution, cam.model_type, cam.shutter_type,
@@ -521,7 +553,9 @@ class Trainer:
         self.key, k = jax.random.split(self.key)
         lrs = {n: jnp.asarray(v, jnp.float32)
                for n, v in self.current_lrs().items()}
-        rgb_gt = jnp.asarray(batch.rgb_gt)
+        # gt_dev (run_training passes a device-cache slice) avoids the
+        # leaking per-dispatch host upload; direct callers fall back
+        rgb_gt = gt_dev if gt_dev is not None else jnp.asarray(batch.rgb_gt)
         new_params, new_opt, grads, metrics = step_fn(
             self._params_dict(), self.opt_state, lrs, rgb_gt,
             self.model.n_active, k, cam,
@@ -833,7 +867,15 @@ class Trainer:
 
         cams_stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *cams)
-        gts = jnp.stack([jnp.asarray(b.rgb_gt) for b in batches])
+        cache = self._gt_cache()
+        if cache is not False and all(0 <= i < cache.shape[0]
+                                      for i in frame_idxs):
+            # on-device gather from the one-time GT upload (per-dispatch
+            # host uploads leak host RSS through the axon tunnel)
+            gts = jnp.take(cache, jnp.asarray(frame_idxs, jnp.int32),
+                           axis=0)
+        else:
+            gts = jnp.stack([jnp.asarray(b.rgb_gt) for b in batches])
         lrs_stack = {}
         for j in range(k):
             for name, v in self.current_lrs(self.global_step + j).items():
@@ -896,7 +938,11 @@ class Trainer:
                     [self.dataset[i] for i in idxs], idxs)
             else:
                 idx = order.pop()
+                cache = self._gt_cache()
+                gt_dev = (cache[idx] if cache is not False
+                          and 0 <= idx < cache.shape[0] else None)
                 metrics = self.train_iteration(self.dataset[idx],
+                                               gt_dev=gt_dev,
                                                frame_idx=idx)
             if log_every and self.global_step % log_every == 0:
                 dt = time.time() - t0
