@@ -257,6 +257,7 @@ class Trainer:
         # and indexed on device. None = not built yet; False = dataset
         # not cacheable (ragged shapes / too large).
         self._gts_dev: Any = None
+        self._val_gts_dev: Dict[int, Any] = {}
         self.gt_cache_limit_bytes = 6 << 30
         # pair-budget auto-calibration state
         self._max_pairs = conf.raster.max_pairs
@@ -990,7 +991,16 @@ class Trainer:
                 from ..utils.misc import linear_to_srgb
                 pred = linear_to_srgb(jnp.clip(pred, 0.0, 1.0))
             pred = jnp.clip(pred, 0.0, 1.0)
-            gt = jnp.asarray(batch.rgb_gt)
+            # per-frame device cache for the trainer's own datasets:
+            # repeated validation passes must not re-upload GT (host
+            # uploads leak via the tunnel); ad-hoc datasets skip it
+            if ds is self.val_dataset or ds is self.dataset:
+                ck = ("val" if ds is self.val_dataset else "train", i)
+                if ck not in self._val_gts_dev:
+                    self._val_gts_dev[ck] = jnp.asarray(batch.rgb_gt)
+                gt = self._val_gts_dev[ck]
+            else:
+                gt = jnp.asarray(batch.rgb_gt)
             psnrs.append(float(psnr(pred, gt)))
             ssims.append(float(ssim(pred.transpose(2, 0, 1)[None],
                                     gt.transpose(2, 0, 1)[None])))
