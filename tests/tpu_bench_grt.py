@@ -35,7 +35,11 @@ def main():
                        focal=(1.1 * side, 1.1 * side),
                        principal=(side / 2, side / 2))
     ut_cfg = UTConfig()
-    rc = RasterConfig(max_pairs=86 * 8192)
+    rc = RasterConfig(max_pairs=86 * 8192,
+                      sort_window=int(os.environ.get("GRT_SORT_WINDOW",
+                                                     "64")),
+                      records_bf16=bool(int(os.environ.get(
+                          "GRT_RECORDS_BF16", "0"))))
     rng = np.random.default_rng(1)
     gt = jnp.asarray(rng.uniform(0, 1, (side, side, 3)).astype(np.float32))
     opt_state = init_adam_state(params_d)
