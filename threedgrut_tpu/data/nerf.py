@@ -102,15 +102,20 @@ class NeRFDataset:
         return rgb
 
     def camera_rays(self):
-        """Camera-space pinhole rays at pixel centers (+0.5)."""
-        h, w = self.height, self.width
-        y, x = np.meshgrid(np.arange(h, dtype=np.float32),
-                           np.arange(w, dtype=np.float32), indexing="ij")
-        xs = (x + 0.5 - 0.5 * w) / self.focal
-        ys = (y + 0.5 - 0.5 * h) / self.focal
-        dirs = np.stack([xs, ys, np.ones_like(xs)], axis=-1)
-        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-        return np.zeros_like(dirs), dirs.astype(np.float32)
+        """Camera-space pinhole rays at pixel centers (+0.5); memoized
+        (all frames share intrinsics - recomputing the HxW grid per
+        __getitem__ measured ~50+ ms of host time per frame)."""
+        if getattr(self, "_rays_cache", None) is None:
+            h, w = self.height, self.width
+            y, x = np.meshgrid(np.arange(h, dtype=np.float32),
+                               np.arange(w, dtype=np.float32),
+                               indexing="ij")
+            xs = (x + 0.5 - 0.5 * w) / self.focal
+            ys = (y + 0.5 - 0.5 * h) / self.focal
+            dirs = np.stack([xs, ys, np.ones_like(xs)], axis=-1)
+            dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+            self._rays_cache = (np.zeros_like(dirs), dirs.astype(np.float32))
+        return self._rays_cache
 
     def get_gpu_batch_with_intrinsics(self, index: int) -> Batch:
         rgb = self._load_image(index)

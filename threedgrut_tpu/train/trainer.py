@@ -257,7 +257,8 @@ class Trainer:
         # and indexed on device. None = not built yet; False = dataset
         # not cacheable (ragged shapes / too large).
         self._gts_dev: Any = None
-        self._val_gts_dev: Dict[int, Any] = {}
+        self._frame_cams: Any = None
+        self._val_gts_dev: Dict[Any, Any] = {}
         self.gt_cache_limit_bytes = 6 << 30
         # pair-budget auto-calibration state
         self._max_pairs = conf.raster.max_pairs
@@ -518,26 +519,36 @@ class Trainer:
         return group_fn
 
     def _gt_cache(self):
-        """Lazily upload all dataset GT frames to device (one upload)."""
+        """Lazily upload all dataset GT frames to device (one upload).
+
+        Also caches the per-frame CameraModel: once GT lives on device,
+        a group dispatch needs only camera metadata - re-reading
+        dataset[i] would re-decode the frame image every time (~100 ms
+        x 16 per group of pure host overhead)."""
         if self._gts_dev is None:
             try:
                 n = len(self.dataset)
                 shapes = {tuple(np.asarray(self.dataset[0].rgb_gt).shape)}
                 nbytes = 0
-                frames = []
+                frames, cams = [], []
                 for i in range(n):
-                    g = np.asarray(self.dataset[i].rgb_gt, np.float32)
+                    b = self.dataset[i]
+                    g = np.asarray(b.rgb_gt, np.float32)
                     shapes.add(g.shape)
                     nbytes += g.nbytes
                     frames.append(g)
+                    cams.append(camera_from_batch(b, self.conf.ut))
                     if len(shapes) > 1 or nbytes > self.gt_cache_limit_bytes:
                         break
                 if len(shapes) == 1 and nbytes <= self.gt_cache_limit_bytes:
                     self._gts_dev = jnp.asarray(np.stack(frames))
+                    self._frame_cams = cams
                 else:
                     self._gts_dev = False
+                    self._frame_cams = None
             except Exception:
                 self._gts_dev = False
+                self._frame_cams = None
         return self._gts_dev
 
     def train_iteration(self, batch, frame_idx: int = 0,
@@ -848,10 +859,19 @@ class Trainer:
         return max(k, 1)
 
     def train_group(self, batches, frame_idxs) -> Dict[str, float]:
-        """Run len(batches) train steps in ONE device dispatch; returns
-        the final step's metrics (with group-max pair telemetry)."""
-        k = len(batches)
-        cams = [camera_from_batch(b, self.conf.ut) for b in batches]
+        """Run the group's train steps in ONE device dispatch; returns
+        the final step's metrics (with group-max pair telemetry).
+
+        ``batches`` may be None when every frame is covered by the
+        GT/camera caches (run_training's hot path - avoids re-decoding
+        frame images just for their camera metadata)."""
+        k = len(batches) if batches is not None else len(frame_idxs)
+        if (batches is None or getattr(self, "_frame_cams", None)) and \
+                self._gt_cache() is not False and all(
+                    0 <= i < len(self._frame_cams) for i in frame_idxs):
+            cams = [self._frame_cams[i] for i in frame_idxs]
+        else:
+            cams = [camera_from_batch(b, self.conf.ut) for b in batches]
         sh_degree = min(self.n_active_features, self.conf.max_n_features)
         c0 = cams[0]
         with_buf = (self.conf.strategy == "gs"
@@ -935,8 +955,14 @@ class Trainer:
                  if group_steps else 1)
             if k > 1:
                 idxs = [order.pop() for _ in range(k)]
-                metrics = self.train_group(
-                    [self.dataset[i] for i in idxs], idxs)
+                cache = self._gt_cache()
+                if cache is not False and self._frame_cams is not None \
+                        and all(0 <= i < len(self._frame_cams)
+                                for i in idxs):
+                    metrics = self.train_group(None, idxs)
+                else:
+                    metrics = self.train_group(
+                        [self.dataset[i] for i in idxs], idxs)
             else:
                 idx = order.pop()
                 cache = self._gt_cache()
