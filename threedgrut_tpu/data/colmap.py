@@ -324,6 +324,19 @@ class ColmapDataset:
         return rgb
 
     def camera_rays(self, intr: dict):
+        # memoized per camera (fisheye rays especially - the grid +
+        # distortion solve costs 10s of ms per __getitem__ otherwise)
+        ck = (intr["width"], intr["height"], intr["fx"], intr["fy"],
+              intr["cx"], intr["cy"], intr["kind"])
+        cache = getattr(self, "_rays_cache", None)
+        if cache is None:
+            cache = self._rays_cache = {}
+        if ck in cache:
+            return cache[ck]
+        cache[ck] = self._camera_rays_uncached(intr)
+        return cache[ck]
+
+    def _camera_rays_uncached(self, intr: dict):
         h, w = intr["height"], intr["width"]
         y, x = np.meshgrid(np.arange(h, dtype=np.float32),
                            np.arange(w, dtype=np.float32), indexing="ij")
