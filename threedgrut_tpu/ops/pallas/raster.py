@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -70,7 +71,11 @@ TILE_PIX = 256  # 16 x 16
 # Candidates per streamed chunk (lane width of the compute blocks). 256
 # (two 128-lane tiles) halves loop/DMA-wait overhead vs 128 at the same
 # total math - the compositing helpers are all lane-width generic.
-CHUNK = 256
+# candidate-chunk width (lanes). 256 default; 128 halves the dead-lane
+# padding of short tile segments (mean ~240 pairs/tile at bench scale)
+# at the cost of more per-chunk loop/DMA overhead - experiment knob,
+# must stay a multiple of the 128-lane DMA alignment.
+CHUNK = int(os.environ.get("THREEDGRUT_CHUNK", "256"))
 
 # retained for backwards compatibility with callers sizing SH records
 RECORD_DIM = 16
