@@ -287,3 +287,42 @@ class Test3DGRTAppConfig:
         for step in range(2):
             m = tr.train_iteration(tr.dataset[step])
             assert np.isfinite(m["total"])
+
+
+class TestFusedPerturb:
+    def test_mcmc_groups_fuse_and_perturb(self):
+        """Per-step MCMC perturb rides inside the group scan: groups are
+        >1 step inside the perturb window, and positions receive noise
+        beyond the optimizer step."""
+        tr = make_trainer("mcmc")
+        c = tr.conf.mcmc
+        assert c.perturb_frequency == 1
+        # planner must fuse despite the every-step perturb
+        tr.global_step = 20  # inside perturb window, between events
+        k = tr._plan_group(100, 50, log_every=0)
+        assert k > 1, "per-step perturb must not break group fusion"
+        tr.global_step = 0
+
+        # count perturb invocations traced into the group program: one
+        # per fused step (the host hook must be skipped for the group)
+        import threedgrut_tpu.strategy.mcmc as mcmc_mod
+        import threedgrut_tpu.train.trainer as trainer_mod
+        calls = {"n": 0}
+        orig_perturb = mcmc_mod.perturb
+
+        def counting_perturb(*a, **kw):
+            calls["n"] += 1
+            return orig_perturb(*a, **kw)
+
+        trainer_mod.mcmc_strategy.perturb = counting_perturb
+        try:
+            tr.train_group(None if tr._gt_cache() is not False else
+                           [tr.dataset[i] for i in range(4)],
+                           [0, 1, 2, 3])
+        finally:
+            trainer_mod.mcmc_strategy.perturb = orig_perturb
+        # traced exactly once inside the scan body (per-step via scan),
+        # and NOT called by the host hook afterwards
+        assert calls["n"] == 1, calls
+        p1 = np.asarray(tr.model.params.positions)
+        assert np.isfinite(p1).all()

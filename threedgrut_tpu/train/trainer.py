@@ -483,7 +483,8 @@ class Trainer:
         return jax.jit(self._make_step_core(sh_degree))
 
     def _build_train_group(self, sh_degree: int, k_steps: int,
-                           with_grad_buffer: bool):
+                           with_grad_buffer: bool,
+                           with_perturb: bool = False):
         """K train steps fused into ONE device dispatch via lax.scan.
 
         The reference pays per-iteration kernel-launch overhead on every
@@ -491,9 +492,13 @@ class Trainer:
         trainer batches all steps between host-side events (strategy
         hooks, progressive SH, calibration) into one jitted program. The
         GS gradient-buffer update (strategy/gs.py:130-141) rides inside
-        the scan so no per-step grads cross the host boundary.
+        the scan, and so does MCMC's per-step position perturbation
+        (with_perturb; mcmc.py perturb fires every step, which would
+        otherwise force one dispatch per step).
         """
         core = self._make_step_core(sh_degree)
+        base_model = self.model
+        noise_lr = self.conf.mcmc.noise_lr
 
         @jax.jit
         def group_fn(params_d, opt_state, gs_accum, gs_denom, n_active,
@@ -509,6 +514,17 @@ class Trainer:
                         gs_strategy.GSBuffers(ga, gd), grads["positions"],
                         new_p["positions"], sensor_position(cam))
                     ga, gd = buf.grad_norm_accum, buf.grad_norm_denom
+                if with_perturb:
+                    gauss_d = {k2: v for k2, v in new_p.items()
+                               if k2 not in ("nht_decoder", "ppisp")}
+                    m2 = base_model.replace(
+                        params=base_model.params.replace(**gauss_d),
+                        n_active=n_active)
+                    m2 = mcmc_strategy.perturb(
+                        m2, jax.random.fold_in(key, 77),
+                        lrs["positions"], noise_lr)
+                    new_p = dict(new_p)
+                    new_p["positions"] = m2.params.positions
                 return (new_p, new_o, ga, gd), metrics
 
             (pd, opt, ga, gd), metrics = jax.lax.scan(
@@ -607,7 +623,7 @@ class Trainer:
                 self.gs_buffers, grads["positions"],
                 self.model.params.positions, sensor_position(cam))
 
-    def _post_optimizer_step(self):
+    def _post_optimizer_step(self, skip_perturb: bool = False):
         step = self.global_step
         if self.conf.strategy == "gs":
             c = self.conf.gs
@@ -698,9 +714,9 @@ class Trainer:
                     mcmc_strategy.add_gaussians(
                         self.model, self.opt_state, k,
                         max_n=c.max_n_gaussians, n_max=c.binom_n_max)
-            if strat_base.check_step_condition(step, c.perturb_start,
-                                               c.perturb_end,
-                                               c.perturb_frequency):
+            if not skip_perturb and strat_base.check_step_condition(
+                    step, c.perturb_start, c.perturb_end,
+                    c.perturb_frequency):
                 self.key, k = jax.random.split(self.key)
                 pos_lr = jnp.asarray(
                     self._schedulers["positions"](step), jnp.float32)
@@ -833,8 +849,17 @@ class Trainer:
             conds = [
                 (c.relocate_start, c.relocate_end, c.relocate_frequency),
                 (c.add_start, c.add_end, c.add_frequency),
-                (c.perturb_start, c.perturb_end, c.perturb_frequency),
             ]
+            if c.perturb_frequency == 1:
+                # per-step perturb is FUSED into the group scan; only
+                # the activity-window edges must break groups (the
+                # with_perturb flag is static per program)
+                if step in (c.perturb_start, max(c.perturb_end - 1, 0),
+                            c.perturb_end):
+                    return True
+            else:
+                conds.append((c.perturb_start, c.perturb_end,
+                              c.perturb_frequency))
         if any(strat_base.check_step_condition(step, s, e, f)
                for (s, e, f) in conds):
             return True
@@ -878,12 +903,18 @@ class Trainer:
                     and strat_base.check_step_condition(
                         self.global_step + 1, 0, self.conf.gs.densify_end,
                         1))
-        cache_key = ("group", k, with_buf, c0.resolution, c0.model_type,
-                     c0.shutter_type, sh_degree, self.model.capacity,
-                     self._max_pairs)
+        cm = self.conf.mcmc
+        with_perturb = (self.conf.strategy == "mcmc"
+                        and cm.perturb_frequency == 1
+                        and strat_base.check_step_condition(
+                            self.global_step + 1, cm.perturb_start,
+                            cm.perturb_end, 1))
+        cache_key = ("group", k, with_buf, with_perturb, c0.resolution,
+                     c0.model_type, c0.shutter_type, sh_degree,
+                     self.model.capacity, self._max_pairs)
         if cache_key not in self._train_step_cache:
             self._train_step_cache[cache_key] = self._build_train_group(
-                sh_degree, k, with_buf)
+                sh_degree, k, with_buf, with_perturb)
         group_fn = self._train_step_cache[cache_key]
 
         cams_stacked = jax.tree_util.tree_map(
@@ -936,7 +967,7 @@ class Trainer:
         metrics["pairs"] = int(np.max(mstack["pairs"]))
         metrics["overflow"] = int(np.max(mstack["overflow"]))
 
-        self._post_optimizer_step()
+        self._post_optimizer_step(skip_perturb=with_perturb)
         self._progressive_features()
         self._calibrate_pairs(metrics)
         return metrics
