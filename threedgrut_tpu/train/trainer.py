@@ -350,14 +350,23 @@ class Trainer:
             rung = ((int(rung * 1.5) + 8191) // 8192) * 8192
         return rung
 
-    def _calibrate_pairs(self, metrics):
+    def _calibrate_pairs(self, metrics, last_k: int = 1):
         """Grow the pair budget on overflow; shrink at milestones when the
-        observed peak leaves >2x headroom. Both re-jit the train step."""
+        observed peak leaves >2x headroom. Both re-jit the train step.
+
+        ``last_k``: steps covered by the dispatch that produced
+        ``metrics`` - grouped steps calibrate when the group CROSSES a
+        gate boundary (exact multiples rarely land on group ends)."""
         if not self.conf.auto_max_pairs:
             return
         step = self.global_step
         every = max(self.conf.max_pairs_calibrate_every, 1)
-        if not (step <= 10 or step % 50 == 0 or step % every == 0):
+
+        def crossed(period):
+            return (step // period) != ((step - last_k) // period)
+
+        if not (step <= 10 + last_k or crossed(min(50, every))
+                or crossed(every)):
             return
         pairs = int(metrics["pairs"])
         overflow = int(metrics["overflow"])
@@ -370,7 +379,7 @@ class Trainer:
                       f"{self._max_pairs} -> {new}")
             self._max_pairs = max(new, self._max_pairs)
             return
-        if step % every == 0 and step > 0:
+        if crossed(every) and step > last_k:
             target = self._round_pairs(self._peak_pairs * head)
             if target < self._max_pairs // 2:
                 if self.conf.print_stats:
@@ -972,24 +981,39 @@ class Trainer:
         self._last_cam = cams[-1]
         self.global_step += k
 
-        mstack = {name: np.asarray(v) for name, v in mstack.items()}
-        if self.writer is not None:
-            base = self.global_step - k
-            for j in range(k):
-                for name, v in mstack.items():
-                    self.writer.add_scalar(f"train/{name}", float(v[j]),
-                                           base + j + 1)
-            self.writer.add_scalar("train/n_gaussians",
-                                   int(self.model.n_active),
-                                   self.global_step)
-        metrics = {name: v[-1] for name, v in mstack.items()}
-        # feed the calibrator the group's peak pair pressure
-        metrics["pairs"] = int(np.max(mstack["pairs"]))
-        metrics["overflow"] = int(np.max(mstack["overflow"]))
+        # materializing mstack forces a full pipeline sync per dispatch,
+        # killing host/device overlap - only do it when something host-
+        # side actually consumes the values (writer, or a calibration
+        # step inside this group; see _calibrate_pairs gating)
+        every = max(self.conf.max_pairs_calibrate_every, 1)
+        calibrate_now = self.conf.auto_max_pairs and (
+            self.global_step <= 10 + k
+            or (self.global_step // min(50, every))
+            != ((self.global_step - k) // min(50, every)))
+        if self.writer is not None or calibrate_now:
+            mstack = {name: np.asarray(v) for name, v in mstack.items()}
+            if self.writer is not None:
+                base = self.global_step - k
+                for j in range(k):
+                    for name, v in mstack.items():
+                        self.writer.add_scalar(f"train/{name}",
+                                               float(v[j]), base + j + 1)
+                self.writer.add_scalar("train/n_gaussians",
+                                       int(self.model.n_active),
+                                       self.global_step)
+            metrics = {name: v[-1] for name, v in mstack.items()}
+            # feed the calibrator the group's peak pair pressure
+            metrics["pairs"] = int(np.max(mstack["pairs"]))
+            metrics["overflow"] = int(np.max(mstack["overflow"]))
+        else:
+            # device arrays; float()-able by the caller's log cadence
+            metrics = {name: v[-1] for name, v in mstack.items()}
+            metrics["pairs"] = jnp.max(mstack["pairs"])
+            metrics["overflow"] = jnp.max(mstack["overflow"])
 
         self._post_optimizer_step(skip_perturb=with_perturb)
         self._progressive_features()
-        self._calibrate_pairs(metrics)
+        self._calibrate_pairs(metrics, last_k=k)
         return metrics
 
     def run_training(self, max_steps: Optional[int] = None,
