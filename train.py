@@ -135,6 +135,13 @@ def main():
                    for c in ckpt_iters):
                 trainer.save_checkpoint(
                     os.path.join(out_dir, f"ckpt_{trainer.global_step}.npz"))
+            freq = conf.checkpoint.get("frequency", 0)
+            if freq and (trainer.global_step // freq
+                         != (trainer.global_step
+                             - conf.log_frequency * 100) // freq):
+                # crash insurance: overwrite one rolling checkpoint
+                trainer.save_checkpoint(
+                    os.path.join(out_dir, "ckpt_periodic.npz"))
             if (tconf.val_frequency
                     and trainer.global_step % tconf.val_frequency < 100
                     and val_dataset is not None):
