@@ -26,6 +26,33 @@ import numpy as np
 BASELINE_IT_S = 135.0  # reference lego 3DGUT GS unsorted on RTX 5090
 
 
+def wait_for_tpu(max_wait_s=900, probe_timeout_s=240):
+    """Ride out transient TPU-tunnel outages before the workload.
+
+    Backend init is attempted in a subprocess (it can hang indefinitely
+    when the axon relay is down, and a hung init poisons the parent's
+    backend cache), retrying until the budget runs out. Returns silently
+    on success; on exhaustion lets the main workload raise naturally.
+    """
+    import subprocess
+    deadline = time.time() + max_wait_s
+    probe = ("import jax; "
+             "assert any('tpu' in str(d).lower() or 'TPU' in str(d)"
+             " for d in jax.devices())")
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=probe_timeout_s,
+                               capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return
+        time.sleep(30)
+
+
 def main():
     from threedgrut_tpu.models.gaussians import (GaussianModelConfig,
                                                  GaussianParams,
@@ -117,4 +144,5 @@ def main():
 
 
 if __name__ == "__main__":
+    wait_for_tpu()
     main()
