@@ -158,3 +158,69 @@ class TestBf16Records:
             cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
                                  + 1e-20))
             assert cos > 0.99, f"bf16 grad direction off for {name}: {cos}"
+
+class TestAlignedSegments:
+    """aligned_segments re-bases tile segments to chunk boundaries
+    (ops/binning.py _align_segments); forward and gradients must match
+    the raw layout exactly (same math, different slot layout)."""
+
+    def test_forward_matches_raw(self):
+        cam, model = make_test_scene(n=96, seed=2, res=(64, 48))
+        raw = render_gut(cam, UT, RC, model, sh_degree=3, interpret=True)
+        ali = render_gut(cam, UT, RC.replace(aligned_segments=True),
+                         model, sh_degree=3, interpret=True)
+        for k in ["pred_features", "pred_opacity", "pred_dist",
+                  "hits_count"]:
+            np.testing.assert_allclose(ali[k], raw[k], atol=1e-6,
+                                       rtol=1e-6, err_msg=k)
+        assert int(ali["pairs_overflow"]) == 0
+
+    def test_gradients_match_raw(self):
+        cam, model = make_test_scene(n=48, seed=4, res=(32, 32))
+        target = jnp.zeros((32, 32, 3))
+
+        def make_loss(rc):
+            def loss(params):
+                m = model.replace(params=params)
+                out = render_gut(cam, UT, rc, m, sh_degree=1,
+                                 interpret=True)
+                return jnp.mean((out["pred_features"] - target) ** 2) \
+                    + 0.1 * jnp.mean(out["pred_opacity"])
+            return loss
+
+        g_raw = jax.grad(make_loss(RC))(model.params)
+        g_ali = jax.grad(make_loss(RC.replace(aligned_segments=True)))(
+            model.params)
+        for name in ["positions", "rotation", "scale", "density",
+                     "features_albedo", "features_specular"]:
+            a = np.asarray(getattr(g_ali, name))
+            b = np.asarray(getattr(g_raw, name))
+            scale = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-5,
+                                       err_msg=f"grad mismatch: {name}")
+
+    def test_alignment_overflow_reported(self):
+        # budget fits the raw pairs but not the chunk padding -> the
+        # overflow signal must fire so auto-calibration grows the budget
+        cam, model = make_test_scene(n=96, res=(64, 48))
+        raw = render_gut(cam, UT, RasterConfig(max_pairs=1 << 14), model,
+                         sh_degree=0, interpret=True)
+        n_raw = int(raw["num_pairs"])
+        from threedgrut_tpu.ops.pallas.raster import CHUNK
+        tight = ((n_raw + CHUNK - 1) // CHUNK) * CHUNK + CHUNK
+        tight += (-tight) % 1024  # max_pairs must divide the expand slab
+        ali = render_gut(cam, UT,
+                         RasterConfig(max_pairs=tight,
+                                      aligned_segments=True),
+                         model, sh_degree=0, interpret=True)
+        assert int(ali["pairs_overflow"]) > 0
+
+    def test_weight_telemetry_matches_raw(self):
+        cam, model = make_test_scene(n=96, seed=5, res=(64, 48))
+        raw = render_gut(cam, UT, RC, model, sh_degree=0, interpret=True,
+                         weight_telemetry=True)
+        ali = render_gut(cam, UT, RC.replace(aligned_segments=True),
+                         model, sh_degree=0, interpret=True,
+                         weight_telemetry=True)
+        np.testing.assert_allclose(ali["particle_wmax"],
+                                   raw["particle_wmax"], atol=1e-6)

@@ -311,6 +311,7 @@ def to_trainer_config(conf: ConfigNode):
         exact_kill=render.get("exact_kill", True),
         records_bf16=render.get("records_bf16",
                                 render.get("particle_feature_half", False)),
+        aligned_segments=render.get("aligned_segments", False),
         max_pairs=render.get("max_pairs", 1 << 20))
 
     bgc = model.get("background", {})

@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .pallas.expand import BLK, SLAB, expand_decode_pairs
+from .pallas.expand import BLK, SLAB, expand_sorted_rows, expand_decode_pairs
 from .ut import TILE_X, TILE_Y, Projection, tile_min_power_response
 
 
@@ -43,12 +43,17 @@ class Binning(NamedTuple):
     rank_slot: jnp.ndarray = None   # [cap] i32 pre-slot interval start
     rank_next: jnp.ndarray = None   # [cap] i32 pre-slot interval end
     rank_particle: jnp.ndarray = None  # [cap] i32 depth rank -> particle
+    # aligned-layout extras (None unless aligned=True):
+    tile_count: jnp.ndarray = None  # [T] i32 visible (real) pairs per tile
+    fwd_map: jnp.ndarray = None     # [P] i32 raw slot -> aligned slot (-1
+    #                                 for slots outside every visible tile)
 
 
 def bin_particles(proj: Projection, tile_grid, max_pairs: int,
                   chunk: int = 128, tile_culling: bool = True,
                   alpha_threshold: float = 1.0 / 255.0,
                   carry_perm: bool = False,
+                  aligned: bool = False,
                   interpret: bool = False) -> Binning:
     """Bin projected particles into per-tile depth-ordered pair lists.
 
@@ -56,6 +61,16 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
     list; the compositing kernel streams floor/ceil-aligned chunks around
     each range and masks boundary lanes (the backward accumulates shared
     boundary chunks sequentially).
+
+    With ``aligned=True`` each tile's segment is re-based to a ``chunk``
+    boundary inside the same ``max_pairs`` buffer (padding consumes
+    budget headroom and is accounted in ``overflow`` so the trainer's
+    auto-calibration grows the budget): no chunk is shared between
+    tiles, so the raster kernels never re-visit boundary chunks and the
+    backward's cross-tile pending accumulation never fires. Returns
+    ``tile_start`` as the aligned boundaries, ``tile_count`` as the
+    real (visible) per-tile counts and ``fwd_map`` (raw slot ->
+    aligned slot) for the gradient fold.
     """
     gx, gy = tile_grid
     num_tiles = gx * gy
@@ -159,7 +174,94 @@ def bin_particles(proj: Projection, tile_grid, max_pairs: int,
                      rank_slot=excl_c.astype(jnp.int32),
                      rank_next=offs_c,
                      rank_particle=order.astype(jnp.int32))
+    if aligned:
+        return _align_segments(pair_particle.astype(jnp.int32), raw_start,
+                               num_pairs, overflow, extra, num_tiles,
+                               max_pairs, chunk, interpret)
     return Binning(pair_particle=pair_particle.astype(jnp.int32),
                    tile_start=raw_start,
                    num_pairs=num_pairs,
                    overflow=overflow.astype(jnp.int32), **extra)
+
+
+def _tile_interval_expand(payload, starts, ends, max_pairs, slab,
+                          interpret):
+    """Broadcast per-tile payload rows onto their slot intervals.
+
+    payload: list of [T] f32 columns; starts/ends: [T] i32 sorted
+    disjoint intervals within [0, max_pairs). Returns one [max_pairs]
+    f32 array per payload column (zeros on uncovered slots) via the
+    interval-mask MXU kernel (ops/pallas/expand.py).
+    """
+    t = starts.shape[0]
+    n_rows = ((t + BLK - 1) // BLK) * BLK + BLK
+    cols = [jnp.zeros((t, 1), jnp.float32) for _ in range(11)]
+    for i, c in enumerate(payload):
+        cols[i] = c.astype(jnp.float32)[:, None]
+    rows = jnp.concatenate(
+        cols + [starts.astype(jnp.float32)[:, None],
+                ends.astype(jnp.float32)[:, None],
+                jnp.zeros((t, 128 - 13), jnp.float32)], axis=1)
+    rows = jnp.pad(rows, ((0, n_rows - t), (0, 0)))
+    n_slabs = max_pairs // slab
+    bounds = jnp.arange(n_slabs, dtype=jnp.int32)
+    src_start = jnp.searchsorted(ends, bounds * slab, side="right",
+                                 method="scan_unrolled").astype(jnp.int32)
+    src_end = jnp.searchsorted(starts, (bounds + 1) * slab, side="left",
+                               method="scan_unrolled").astype(jnp.int32)
+    out = expand_sorted_rows(rows, src_start, src_end, n_slabs, slab=slab,
+                             interpret=interpret)
+    return [out[:, i, :].reshape(-1) for i in range(len(payload))]
+
+
+def _align_segments(pair_particle, raw_start, num_pairs, overflow, extra,
+                    num_tiles, max_pairs, chunk, interpret):
+    """Re-base tile segments to chunk boundaries within the same buffer.
+
+    Each tile's pairs move to [astart_t, astart_t + count_t) with
+    astart_t a multiple of ``chunk``; the inter-tile gaps are padding
+    lanes the kernels mask. Alignment padding that pushes the layout
+    past ``max_pairs`` truncates trailing tiles and is reported through
+    ``overflow`` (the trainer's pair-budget auto-calibration then grows
+    the budget exactly like a raw-pair overflow).
+    """
+    counts = raw_start[1:] - raw_start[:-1]                       # [T]
+    aligned_len = ((counts + chunk - 1) // chunk) * chunk
+    astart = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(aligned_len)]).astype(jnp.int32)
+    aligned_total = astart[-1]
+    astart_c = jnp.minimum(astart, max_pairs)                     # [T+1]
+    count_vis = jnp.clip(counts, 0, max_pairs - astart_c[:-1])    # [T]
+
+    slab = min(SLAB, max_pairs)
+    # aligned slot j -> raw source slot (one pass over aligned space)
+    delta, src_end_f, covered = _tile_interval_expand(
+        [(raw_start[:-1] - astart_c[:-1]),
+         (raw_start[:-1] + count_vis),
+         jnp.ones_like(count_vis)],
+        astart_c[:-1], astart_c[1:], max_pairs, slab, interpret)
+    j_f = jnp.arange(max_pairs, dtype=jnp.float32)
+    src_f = j_f + delta
+    valid = (covered > 0.0) & (src_f < src_end_f)
+    src = jnp.clip(src_f, 0, max_pairs - 1).astype(jnp.int32)
+    aligned_particle = jnp.where(valid, pair_particle[src], 0)
+
+    if extra:
+        # raw slot i -> aligned slot (one pass over raw space) for the
+        # gradient fold's un-permute; -1 marks raw slots outside every
+        # visible tile (culled / truncated pairs -> zero gradient)
+        delta2, covered2 = _tile_interval_expand(
+            [(astart_c[:-1] - raw_start[:-1]), jnp.ones_like(count_vis)],
+            raw_start[:-1], raw_start[:-1] + count_vis, max_pairs, slab,
+            interpret)
+        fmap_f = j_f + delta2
+        ok = (covered2 > 0.0) & (fmap_f < max_pairs)
+        fwd_map = jnp.where(ok, fmap_f, -1.0).astype(jnp.int32)
+        extra = dict(extra, fwd_map=fwd_map)
+
+    overflow = jnp.maximum(overflow, aligned_total - max_pairs)
+    return Binning(pair_particle=aligned_particle,
+                   tile_start=astart_c,
+                   num_pairs=jnp.sum(count_vis),
+                   overflow=overflow.astype(jnp.int32),
+                   tile_count=count_vis, **extra)

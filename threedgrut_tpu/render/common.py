@@ -46,6 +46,11 @@ class RasterConfig:
     # bfloat16 record streaming inside the raster op (see
     # RasterKernelConfig.records_bf16; reference particle_feature_half)
     records_bf16: bool = struct.field(pytree_node=False, default=False)
+    # chunk-aligned per-tile segments (ops/binning.py _align_segments):
+    # no boundary chunk is shared between tiles, so the raster kernels
+    # never re-visit boundary chunks; alignment padding consumes pair
+    # budget (auto-calibration grows it via the overflow signal)
+    aligned_segments: bool = struct.field(pytree_node=False, default=False)
 
 
 def camera_rays_world(cam: CameraModel):

@@ -81,34 +81,42 @@ def unpack_tiles(out, grid, height, width, out_dim=8):
     return img[:height, :width]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _gather_records_fold(table, idx, perm, pair_rank, rank_slot, rank_next,
-                         rank_particle, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _gather_records_fold(table, idx, perm, fwd_map, pair_rank, rank_slot,
+                         rank_next, rank_particle, interpret):
     """``table[idx]`` whose backward folds pair gradients with the
     particle-order interval-matmul kernel (ops/pallas/fold.py) instead of
     XLA's scatter-add lowering: un-permute d_records to the pre-tile-sort
     pair order (where each depth rank owns a contiguous slot interval),
-    MXU-fold per rank, then map depth ranks back to particle rows."""
+    MXU-fold per rank, then map depth ranks back to particle rows.
+
+    ``fwd_map`` (aligned-segment layouts only) rebases the un-permute
+    through the raw-slot -> aligned-slot map; -1 entries (culled /
+    truncated pairs) read zero gradient."""
     return table[idx]
 
 
-def _grf_fwd(table, idx, perm, pair_rank, rank_slot, rank_next,
+def _grf_fwd(table, idx, perm, fwd_map, pair_rank, rank_slot, rank_next,
              rank_particle, interpret):
-    res = (perm, pair_rank, rank_slot, rank_next, rank_particle)
+    res = (perm, fwd_map, pair_rank, rank_slot, rank_next, rank_particle)
     return table[idx], res
 
 
 def _grf_bwd(interpret, res, g):
     from ..ops.pallas.fold import fold_sorted_intervals
 
-    perm, pair_rank, rank_slot, rank_next, rank_particle = res
+    perm, fwd_map, pair_rank, rank_slot, rank_next, rank_particle = res
     inv_pm = jnp.argsort(perm)          # pre slot -> tile-sorted position
-    pre = g[inv_pm]
+    if fwd_map is not None:
+        fm = fwd_map[inv_pm]            # pre slot -> aligned position
+        pre = jnp.where(fm[:, None] >= 0, g[jnp.maximum(fm, 0)], 0.0)
+    else:
+        pre = g[inv_pm]
     d_rank = fold_sorted_intervals(pre, pair_rank, rank_slot, rank_next,
                                    interpret=interpret)
     inv_rank = jnp.argsort(rank_particle)   # particle -> depth rank
     d_table = d_rank[inv_rank]
-    return d_table, None, None, None, None, None, None
+    return d_table, None, None, None, None, None, None, None
 
 
 _gather_records_fold.defvjp(_grf_fwd, _grf_bwd)
@@ -165,7 +173,8 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         proj, grid, raster_cfg.max_pairs, chunk=CHUNK,
         tile_culling=raster_cfg.tile_culling,
         alpha_threshold=ut_cfg.alpha_threshold,
-        carry_perm=raster_cfg.grad_fold, interpret=interpret)
+        carry_perm=raster_cfg.grad_fold,
+        aligned=raster_cfg.aligned_segments, interpret=interpret)
 
     # the hot path (camera rays, global shutter) has one shared ray origin
     # -> the kernel can use the factorized MXU response (chunk_hits_fast).
@@ -226,8 +235,8 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
     # range and are lane-masked in the kernel - no value masking needed
     if raster_cfg.grad_fold:
         records = _gather_records_fold(
-            table, idx, b.perm, b.pair_rank, b.rank_slot, b.rank_next,
-            b.rank_particle, interpret)
+            table, idx, b.perm, b.fwd_map, b.pair_rank, b.rank_slot,
+            b.rank_next, b.rank_particle, interpret)
     else:
         records = table[idx]
     n_chunks = p_total // CHUNK
@@ -257,7 +266,8 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         tmax = jnp.where(is_pad, -1.0, tmax)
     rays_packed = pack_rays(ray_o, ray_d, tmin, tmax, grid)
 
-    tile_count = b.tile_start[1:] - b.tile_start[:-1]
+    tile_count = (b.tile_count if b.tile_count is not None
+                  else b.tile_start[1:] - b.tile_start[:-1])
     if weight_telemetry:
         wpair = rasterize_weight_telemetry(
             jax.lax.stop_gradient(records), b.tile_start[:-1], tile_count,
