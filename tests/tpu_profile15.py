@@ -61,6 +61,11 @@ def main():
             m.get_scale(), m.get_density()[:, 0], m.active_mask())
 
     def variant(tag, rc):
+        out = jax.jit(lambda pd: render_gut(
+            cam, ut_cfg, rc, model.replace(
+                params=model.params.replace(**pd)),
+            sh_degree=3)["pairs_overflow"])(params_d)
+        print(f"[{tag}] pairs_overflow={int(out)}", flush=True)
         def fwd(pd):
             m = model.replace(params=model.params.replace(**pd))
             return render_gut(cam, ut_cfg, rc, m,
@@ -105,6 +110,14 @@ def main():
     variant("nokill", base.replace(exact_kill=False))
     variant("bf16+nokill", base.replace(records_bf16=True,
                                         exact_kill=False))
+    # aligned segments need budget headroom for the chunk padding
+    # (~CHUNK/2 per nonempty tile on average)
+    from threedgrut_tpu.ops.pallas.raster import CHUNK
+    ali_pairs = (160 if CHUNK == 256 else 120) * 8192
+    ali = base.replace(aligned_segments=True, max_pairs=ali_pairs)
+    variant("aligned", ali)
+    variant("aligned+bf16+nokill", ali.replace(records_bf16=True,
+                                               exact_kill=False))
 
 
 if __name__ == "__main__":
