@@ -264,6 +264,10 @@ class Trainer:
         self._max_pairs = conf.raster.max_pairs
         self._peak_pairs = 0
         self._pairs_dirty = True  # sample every step until first calib
+        # strategy-event stats held as DEVICE scalars and flushed at log
+        # boundaries: printing int(...) per event forces a pipeline sync
+        # every event (measured: strategy phase 5-7 it/s vs 16+ coasting)
+        self._pending_event_stats = []
 
     # ------------------------------------------------------------------
 
@@ -657,8 +661,9 @@ class Trainer:
                         relative_size_threshold=c.relative_size_threshold,
                         n_split=c.split_n_gaussians)
                 if self.conf.print_stats:
-                    print(f"[{step}] densify: {stats} "
-                          f"n={int(self.model.n_active)}")
+                    self._pending_event_stats.append(
+                        (step, "densify", dict(stats,
+                                               n=self.model.n_active)))
             if strat_base.check_step_condition(step, c.prune_start,
                                                c.prune_end,
                                                c.prune_frequency):
@@ -667,8 +672,9 @@ class Trainer:
                                               self.gs_buffers,
                                               c.prune_density_threshold)
                 if self.conf.print_stats:
-                    print(f"[{step}] pruned {int(n_pruned)} "
-                          f"n={int(self.model.n_active)}")
+                    self._pending_event_stats.append(
+                        (step, "pruned", dict(n_pruned=n_pruned,
+                                              n=self.model.n_active)))
             if strat_base.check_step_condition(step, c.reset_density_start,
                                                c.reset_density_end,
                                                c.reset_density_frequency):
@@ -712,8 +718,9 @@ class Trainer:
                 # reset so the next window re-accumulates fresh telemetry
                 self.gs_weight_buf = jnp.zeros_like(self.gs_weight_buf)
                 if self.conf.print_stats:
-                    print(f"[{step}] weight-pruned {int(n_pruned)} "
-                          f"n={int(self.model.n_active)}")
+                    self._pending_event_stats.append(
+                        (step, "weight-pruned",
+                         dict(n_pruned=n_pruned, n=self.model.n_active)))
         else:
             c = self.conf.mcmc
             if strat_base.check_step_condition(step, c.relocate_start,
@@ -1047,14 +1054,24 @@ class Trainer:
                                                gt_dev=gt_dev,
                                                frame_idx=idx)
             if log_every and self.global_step % log_every == 0:
+                self._flush_event_stats()
                 dt = time.time() - t0
                 print(f"step {self.global_step}: "
                       f"loss={metrics['total']:.4f} "
                       f"psnr={metrics['psnr']:.2f} "
                       f"n={int(self.model.n_active)} "
                       f"({self.global_step / dt:.1f} it/s)")
+        self._flush_event_stats()
         self.train_wall_time += time.time() - t0
         return self.metrics_history
+
+    def _flush_event_stats(self):
+        """Materialize + print strategy-event stats accumulated as device
+        scalars (per-event prints would sync the pipeline every event)."""
+        for step, kind, vals in self._pending_event_stats:
+            flat = " ".join(f"{k}={int(v)}" for k, v in vals.items())
+            print(f"[{step}] {kind}: {flat}")
+        self._pending_event_stats = []
 
     def validate(self, dataset=None) -> Dict[str, float]:
         """Full validation pass. Metric parity with the reference
