@@ -261,6 +261,7 @@ class TestAcceleratedTrace:
                                        err_msg=f"grad mismatch: {name}")
 
 
+    @pytest.mark.slow
     def test_perpendicular_rays_bounded_candidates(self):
         """Worst case of round 1's depth-slab clusters: rays
         perpendicular to the depth-sort axis. The uniform grid selects
@@ -298,6 +299,7 @@ class TestAcceleratedTrace:
                                    np.asarray(brute["pred_features"]),
                                    atol=1e-5, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_grid_reuse_across_calls(self):
         """A prebuilt GridAccel (playground per-frame build) matches the
         per-call build."""

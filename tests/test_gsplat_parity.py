@@ -110,6 +110,7 @@ class TestLPIPS:
         # no weights on disk in this environment
         assert lm.load_weights("/nonexistent.npz") is None
 
+    @pytest.mark.slow
     def test_torch_state_conversion(self, tmp_path):
         import torch
 

@@ -64,6 +64,7 @@ class TestIntegration:
         assert batch.rgb_gt.shape == (64, 64, 3)
         assert np.isfinite(ds.get_scene_extent())
 
+    @pytest.mark.slow
     def test_config_to_training(self, nerf_dataset_dir, tmp_path):
         sys.path.insert(0, "/root/repo")
         from threedgrut_tpu.config.loader import load_config, to_trainer_config

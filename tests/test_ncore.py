@@ -118,6 +118,7 @@ class TestNCoreDataset:
         assert not np.allclose(np.asarray(cam.t_start),
                                np.asarray(cam.t_end))
 
+    @pytest.mark.slow
     def test_fisheye_batch_renders(self, fake_ncore):
         import jax.numpy as jnp
 

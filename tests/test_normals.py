@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scene_utils import make_test_scene
 from threedgrut_tpu.ops.ut import UTConfig
@@ -14,6 +15,7 @@ UT = UTConfig()
 
 
 class TestNormals:
+    @pytest.mark.slow
     def test_gut_normals_match_oracle(self):
         cam, model = make_test_scene(n=96, seed=0, res=(64, 48))
         rc = RasterConfig(max_pairs=1 << 14, enable_normals=True)

@@ -16,6 +16,7 @@ def test_dryrun_multichip_8():
     mod.dryrun_multichip(n)
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device():
     """Band-sharded loss/grads == unsharded loss/grads."""
     import importlib.util
@@ -81,6 +82,7 @@ def test_dp_matches_single_device():
     assert mismatched / total < 0.01, f"{mismatched}/{total} diverged" 
 
 
+@pytest.mark.slow
 def test_depth_sliced_matches_single_device():
     """Particle (depth-slab) sharding: combined render == single chip."""
     import importlib.util
@@ -123,6 +125,7 @@ def test_depth_sliced_matches_single_device():
                                atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_depth_sliced_train_step_grads():
     """Sliced-step gradients match the single-device L1 gradients."""
     import importlib.util

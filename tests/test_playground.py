@@ -88,6 +88,7 @@ class TestEngine:
                            EnvironmentMap(constant=(0.2, 0.3, 0.4)))
         return eng
 
+    @pytest.mark.slow
     def test_envmap_only(self):
         eng = self._engine()
         # ray pointing away from all particles -> pure envmap
@@ -96,6 +97,7 @@ class TestEngine:
         np.testing.assert_allclose(np.asarray(rgb[0]), [0.2, 0.3, 0.4],
                                    atol=0.02)
 
+    @pytest.mark.slow
     def test_mirror_bounce(self):
         eng = self._engine()
         # mirror plane box far from particles; ray hits it and reflects to env

@@ -73,6 +73,7 @@ class TestISPChain:
         bright = np.asarray(P.apply_ppisp_full(params, rgb, 0, 1)).mean()
         assert bright > base
 
+    @pytest.mark.slow
     def test_grad_flows_everywhere(self):
         params = P.init_ppisp_params(1, 1)
         # nonzero vignetting so centers get gradient too

@@ -164,6 +164,7 @@ class TestMicrofacetBRDF:
 
 
 class TestDenoise:
+    @pytest.mark.slow
     def test_reduces_noise_preserves_edges(self):
         k = jax.random.PRNGKey(0)
         h = w = 64
@@ -179,6 +180,7 @@ class TestDenoise:
                              ).mean())
         assert edge > 0.3
 
+    @pytest.mark.slow
     def test_guides_accepted(self):
         rgb = jnp.ones((16, 16, 3)) * 0.5
         normals = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (16, 16, 1))

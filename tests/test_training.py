@@ -290,6 +290,7 @@ class Test3DGRTAppConfig:
 
 
 class TestFusedPerturb:
+    @pytest.mark.slow
     def test_mcmc_groups_fuse_and_perturb(self):
         """Per-step MCMC perturb rides inside the group scan: groups are
         >1 step inside the perturb window, and positions receive noise
