@@ -233,7 +233,10 @@ def _align_segments(pair_particle, raw_start, num_pairs, overflow, extra,
     astart_c = jnp.minimum(astart, max_pairs)                     # [T+1]
     count_vis = jnp.clip(counts, 0, max_pairs - astart_c[:-1])    # [T]
 
-    slab = min(SLAB, max_pairs)
+    # wide slabs: these passes have ~2-20 source tiles per slab (vs the
+    # pair expansion's hundreds of particles), so per-slab fixed costs
+    # dominate at SLAB=1024
+    slab = 8192 if max_pairs % 8192 == 0 else min(SLAB, max_pairs)
     # aligned slot j -> raw source slot (one pass over aligned space)
     delta, src_end_f, covered = _tile_interval_expand(
         [(raw_start[:-1] - astart_c[:-1]),
