@@ -92,7 +92,11 @@ def main():
                        focal=(1.1 * side, 1.1 * side),
                        principal=(side / 2, side / 2))
     ut_cfg = UTConfig()
-    rc = RasterConfig(max_pairs=86 * 8192)  # total pre-cull pairs 690,641 for this scene (+2%)
+    # total pre-cull pairs 690,641 for this scene (+2%); bf16 records +
+    # relaxed transmittance-kill adopted from the round-2 on-chip A/B
+    # (tests/tpu_profile15.py: train step 59.85 -> 56.17 ms)
+    rc = RasterConfig(max_pairs=86 * 8192, records_bf16=True,
+                      exact_kill=False)
     gt = jnp.asarray(rng.uniform(0, 1, (side, side, 3)).astype(np.float32))
     opt_state = init_adam_state(params_d)
     lrs = {k: jnp.asarray(1e-3, jnp.float32) for k in params_d}

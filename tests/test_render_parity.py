@@ -118,6 +118,49 @@ class TestSortedBackwardParity:
                                        err_msg=f"grad mismatch: {name}")
 
 
+class TestRelaxedKill:
+    def test_forward_close_to_exact(self):
+        # exact_kill=False lets transmittance keep decaying past
+        # min_transmittance instead of freezing (render/common.py);
+        # adopted as the 3dgut training default after the on-chip A/B
+        # (tests/tpu_profile15.py). The residual must stay far below
+        # 8-bit quantization.
+        cam, model = make_test_scene(n=96, seed=0, res=(64, 48))
+        rc_nk = RasterConfig(max_pairs=1 << 14, exact_kill=False)
+        ref = render_gut(cam, UT, RC, model, sh_degree=3, interpret=True)
+        got = render_gut(cam, UT, rc_nk, model, sh_degree=3,
+                         interpret=True)
+        diff = np.abs(np.asarray(got["pred_features"])
+                      - np.asarray(ref["pred_features"]))
+        assert diff.max() < 2e-3, diff.max()
+        do = np.abs(np.asarray(got["pred_opacity"])
+                    - np.asarray(ref["pred_opacity"]))
+        assert do.max() < 2e-3, do.max()
+
+    def test_gradients_finite_and_aligned(self):
+        cam, model = make_test_scene(n=48, seed=3, res=(32, 32))
+        target = jnp.zeros((32, 32, 3))
+
+        def make_loss(rc):
+            def loss(params):
+                m = model.replace(params=params)
+                out = render_gut(cam, UT, rc, m, sh_degree=1,
+                                 interpret=True)
+                return jnp.mean((out["pred_features"] - target) ** 2)
+            return loss
+
+        rc_nk = RasterConfig(max_pairs=1 << 14, exact_kill=False)
+        g_nk = jax.grad(make_loss(rc_nk))(model.params)
+        g_ex = jax.grad(make_loss(RC))(model.params)
+        for name in ["positions", "scale", "density", "features_albedo"]:
+            a = np.asarray(getattr(g_nk, name)).ravel()
+            b = np.asarray(getattr(g_ex, name)).ravel()
+            assert np.isfinite(a).all(), name
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
+                                 + 1e-20))
+            assert cos > 0.999, f"relaxed-kill grad off for {name}: {cos}"
+
+
 class TestBf16Records:
     def test_forward_close_to_f32(self):
         cam, model = make_test_scene(n=96, seed=0, res=(64, 48))
