@@ -39,7 +39,9 @@ def main():
                       sort_window=int(os.environ.get("GRT_SORT_WINDOW",
                                                      "64")),
                       records_bf16=bool(int(os.environ.get(
-                          "GRT_RECORDS_BF16", "0"))))
+                          "GRT_RECORDS_BF16", "0"))),
+                      exact_kill=bool(int(os.environ.get(
+                          "GRT_EXACT_KILL", "1"))))
     rng = np.random.default_rng(1)
     gt = jnp.asarray(rng.uniform(0, 1, (side, side, 3)).astype(np.float32))
     opt_state = init_adam_state(params_d)

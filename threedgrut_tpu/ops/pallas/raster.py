@@ -587,13 +587,20 @@ def bitonic_sort_by_key(key, payloads, window: Optional[int] = None,
     partition sort is the direct analogue of the reference's W-deep
     k-buffer (gutKBufferRenderer.cuh:62-112, k=16).
 
-    ``return_masks``: also return the per-stage (keep_self, j) exchange
+    ``return_masks``: also return the per-stage keep_self exchange
     decisions for ``bitonic_replay_unsort`` - the cheap inverse
-    permutation (no key movement, no comparisons).
+    permutation (no key movement, no comparisons). Decisions are
+    bit-PACKED into int32 words (stage s -> bit s%32 of word s//32):
+    keeping 21-36 live [rows,K] stage masks as separate vregs blew the
+    16 MB scoped-VMEM limit at the bench shape (compile-time OOM,
+    20.3 MB at W=64); one packed word is 32x smaller and the unpack is
+    a single shift+and per replayed stage.
     """
     k_total = window or key.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, key.shape, dimension=1)
-    masks = []
+    stage_js = []
+    packed = []
+    cur = None
     k = 2
     while k <= k_total:
         ascending = (lane & k) == 0 if k < k_total else jnp.ones(
@@ -611,7 +618,15 @@ def bitonic_sort_by_key(key, payloads, window: Optional[int] = None,
             sign = jnp.where(take_min, 1.0, -1.0)
             keep_self = sign * (key_p - key) >= 0.0
             if return_masks:
-                masks.append((keep_self, j))
+                bit = len(stage_js) % 32
+                if bit == 0:
+                    if cur is not None:
+                        packed.append(cur)
+                    cur = jnp.zeros(key.shape, jnp.int32)
+                bitval = (1 << bit) - (1 << 32 if bit == 31 else 0)
+                cur = cur | jnp.where(keep_self, jnp.int32(bitval),
+                                      jnp.int32(0))
+                stage_js.append(j)
             new_key = jnp.where(keep_self, key, key_p)
             new_payloads = []
             for v in payloads:
@@ -621,7 +636,9 @@ def bitonic_sort_by_key(key, payloads, window: Optional[int] = None,
             j //= 2
         k *= 2
     if return_masks:
-        return key, payloads, masks
+        if cur is not None:
+            packed.append(cur)
+        return key, payloads, (packed, stage_js)
     return key, payloads
 
 
@@ -633,13 +650,17 @@ def bitonic_replay_unsort(masks, payloads):
     SAME exchange undoes it. Applying the recorded stages in reverse
     order therefore restores original lane order at ~1/3 the cost of a
     second index-keyed sort (no key rotations, no comparisons, and one
-    payload instead of payload+key)."""
-    if not masks:
+    payload instead of payload+key). ``masks`` is the bit-packed
+    (words, stage_js) pair from ``bitonic_sort_by_key``."""
+    packed, stage_js = masks
+    if not stage_js:
         return list(payloads)
-    lane = jax.lax.broadcasted_iota(jnp.int32, masks[0][0].shape,
+    lane = jax.lax.broadcasted_iota(jnp.int32, packed[0].shape,
                                     dimension=1)
     payloads = list(payloads)
-    for keep_self, j in reversed(masks):
+    for idx in reversed(range(len(stage_js))):
+        j = stage_js[idx]
+        keep_self = ((packed[idx // 32] >> (idx % 32)) & 1) == 1
         bit_clear = (lane & j) == 0
         payloads = [
             jnp.where(keep_self, v,
@@ -1760,6 +1781,13 @@ def _pallas_forward(records, tile_start, tile_count, rays, cfg, interpret):
         out_shape=jax.ShapeDtypeStruct((tp, TILE_PIX, cfg.out_dim),
                                        jnp.float32),
         interpret=interpret,
+        # the sorted forward's bitonic network + mask-replay unsort
+        # needs ~20 MB of scoped stack at W=64/CHUNK=256 - above the
+        # 16 MB default, well within the chip's 128 MB VMEM (the
+        # backward kernel below has the same carve-out)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(32 << 20)) if cfg.sorted_compositing
+        else None,
     )(tile_start, tile_count, records, rays)
     return out[:num_tiles]
 
