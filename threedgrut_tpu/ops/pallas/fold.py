@@ -36,9 +36,13 @@ FSLAB = 2048  # pair lanes per streamed slab
 def _fold_kernel(slot_ref, nxt_ref, pre_hbm, rank_hbm, out_ref, buf, rbuf,
                  sem, rsem, *, fd_pad, pack):
     rb = pl.program_id(0)
-    # contiguous span of pair slots covered by this rank block
-    s0 = slot_ref[rb * BLKR]
-    se = nxt_ref[rb * BLKR + BLKR - 1]
+    # contiguous span of pair slots covered by this rank block. The
+    # prefetch scalars are PER-BLOCK bounds ([R/BLKR], not [R]): scalar
+    # prefetch lives in the 1 MB SMEM, and a capacity-sized i32 pair
+    # (2 x cap x 4 B) blows it at cap >= ~128k (observed as a remote
+    # 'prefetched SMEM operand' OOM on the 400k-capacity train run).
+    s0 = slot_ref[rb]
+    se = nxt_ref[rb]
     first = s0 // FSLAB
     nblk = jnp.maximum(
         jax.lax.div(se - first * FSLAB + FSLAB - 1, FSLAB), 0)
@@ -89,6 +93,9 @@ def fold_sorted_intervals(pre: jnp.ndarray, pair_rank: jnp.ndarray,
         slot = jnp.pad(slot, (0, padr), constant_values=p)
         nxt = jnp.pad(nxt, (0, padr), constant_values=p)
     rp = slot.shape[0]
+    # per-block span bounds (SMEM prefetch scalars; see _fold_kernel)
+    blk_s0 = slot[::BLKR]
+    blk_se = nxt[BLKR - 1::BLKR]
     pack = 128 // fd_pad
     n = p // FSLAB
     sp = FSLAB // pack
@@ -120,5 +127,5 @@ def fold_sorted_intervals(pre: jnp.ndarray, pair_rank: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((rp // BLKR, BLKR, fd_pad),
                                        jnp.float32),
         interpret=interpret,
-    )(slot, nxt, pre_blocks, rank_rows)
+    )(blk_s0, blk_se, pre_blocks, rank_rows)
     return out.reshape(rp, fd_pad)[:r, :fdim]
