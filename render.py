@@ -54,6 +54,20 @@ def main():
         conf = load_config(args.config_name or "apps/nerf_synthetic_3dgut",
                            overrides=overrides)
     tconf = to_trainer_config(conf)
+    # Eval renders use the exact reference renderer semantics regardless
+    # of the training-speed levers a checkpoint was trained with
+    # (reference default: particle_feature_half=false + exact
+    # transmittance loop-break, gutKBufferRenderer.cuh:407-529). Override
+    # explicitly on the CLI to evaluate the relaxed kernels instead.
+    import dataclasses as _dc
+    cli_keys = {ov.split("=", 1)[0] for ov in args.overrides}
+    exact = {}
+    if "render.records_bf16" not in cli_keys:
+        exact["records_bf16"] = False
+    if "render.exact_kill" not in cli_keys:
+        exact["exact_kill"] = True
+    if exact:
+        tconf = _dc.replace(tconf, raster=tconf.raster.replace(**exact))
     split = "test" if conf.dataset.type == "nerf" else "test"
     dataset = make_dataset(conf, split)
 
@@ -100,10 +114,13 @@ def main():
              "psnr_cc": float(psnr(cc, gt)),
              "ssim_cc": float(ssim(cc.transpose(2, 0, 1)[None],
                                    gt.transpose(2, 0, 1)[None]))}
-        if lpips_params is not None:
-            m["lpips"] = float(lpips_mod.lpips(
-                lpips_params, pred.transpose(2, 0, 1)[None],
-                gt.transpose(2, 0, 1)[None]))
+        # LPIPS column always present for audit parity with the
+        # reference's metrics.json (threedgrut/render.py render_all);
+        # the value is gated on weights being available in this env
+        m["lpips"] = (float(lpips_mod.lpips(
+            lpips_params, pred.transpose(2, 0, 1)[None],
+            gt.transpose(2, 0, 1)[None]))
+            if lpips_params is not None else None)
         per_frame.append(m)
         print(m)
         if args.save_images:
@@ -117,6 +134,10 @@ def main():
         "ssim": float(np.mean([m["ssim"] for m in per_frame])),
         "psnr_cc": float(np.mean([m["psnr_cc"] for m in per_frame])),
         "ssim_cc": float(np.mean([m["ssim_cc"] for m in per_frame])),
+        "lpips": (float(np.mean([m["lpips"] for m in per_frame]))
+                  if lpips_params is not None
+                  else "unavailable (no VGG16/LPIPS weights in this "
+                       "environment; set $LPIPS_WEIGHTS)"),
         "best_frame": max(per_frame, key=lambda m: m["psnr"])["frame"],
         "worst_frame": min(per_frame, key=lambda m: m["psnr"])["frame"],
         "per_frame": per_frame,

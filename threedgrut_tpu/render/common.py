@@ -5,9 +5,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
-from ..ops.cameras import (CameraModel, CameraModelType, fisheye_camera_rays,
-                           pinhole_camera_rays)
-from ..ops.quaternion import quat_to_rotmat
+from ..ops.cameras import (CameraModel, CameraModelType, ShutterType,
+                           fisheye_camera_rays, pinhole_camera_rays)
+from ..ops.quaternion import quat_slerp, quat_to_rotmat
 
 
 @struct.dataclass
@@ -40,8 +40,9 @@ class RasterConfig:
     # render.enable_normals; forward-only like the reference)
     enable_normals: bool = struct.field(pytree_node=False, default=False)
     # exact reference transmittance-kill semantics (see
-    # RasterKernelConfig.exact_kill); False trades <1e-4 per-channel
-    # residuals for ~10-13 fewer elementwise ops per chunk visit
+    # RasterKernelConfig.exact_kill); False trades small per-channel
+    # residuals (verified <2e-3 max, tests/test_render_parity.py
+    # TestRelaxedKill) for ~10-13 fewer elementwise ops per chunk visit
     exact_kill: bool = struct.field(pytree_node=False, default=True)
     # bfloat16 record streaming inside the raster op (see
     # RasterKernelConfig.records_bf16; reference particle_feature_half)
@@ -54,10 +55,14 @@ class RasterConfig:
 
 
 def camera_rays_world(cam: CameraModel):
-    """Per-pixel world-space rays through the *start* pose.
+    """Per-pixel world-space rays through the ray-generation pose.
 
     Returns (origins [H,W,3], dirs [H,W,3]). Matches dataset raygen
     (threedgrut/datasets/utils.py:61-105) + camera_to_world transform.
+    For rolling-shutter cameras the reference renderer generates rays
+    from the MID-shutter pose (gutRenderer.cu:265-267,
+    interpolatedSensorPose(start, end, 0.5)) while the projection side
+    uses the true per-time poses; global shutter start == mid == end.
     """
     w, h = cam.resolution
     if cam.model_type == int(CameraModelType.OPENCV_FISHEYE):
@@ -66,9 +71,14 @@ def camera_rays_world(cam: CameraModel):
     else:
         o, d = pinhole_camera_rays(w, h, cam.focal[0], cam.focal[1],
                                    cam.principal[0], cam.principal[1])
+    if cam.shutter_type == int(ShutterType.GLOBAL):
+        q_ray, t_ray = cam.q_start, cam.t_start
+    else:
+        q_ray = quat_slerp(cam.q_start, cam.q_end, 0.5)
+        t_ray = 0.5 * (cam.t_start + cam.t_end)
     # world <- camera: x_w = R^T (x_c - t)
-    rot = quat_to_rotmat(cam.q_start)  # world->camera rotation
-    cam_center = -jnp.einsum("ij,i->j", rot, cam.t_start, precision="highest")
+    rot = quat_to_rotmat(q_ray)  # world->camera rotation
+    cam_center = -jnp.einsum("ij,i->j", rot, t_ray, precision="highest")
     d_w = jnp.einsum("ij,hwi->hwj", rot, d, precision="highest")
     o_w = jnp.broadcast_to(cam_center, d_w.shape) + jnp.einsum(
         "ij,hwi->hwj", rot, o, precision="highest")

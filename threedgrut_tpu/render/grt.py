@@ -261,7 +261,9 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         # brute force: every ray block scans the same full particle
         # segment -> backward accumulates across programs. accelerated:
         # per-block disjoint candidate segments -> classic backward.
-        shared_segments=not accelerate)
+        shared_segments=not accelerate,
+        exact_kill=raster_cfg.exact_kill,
+        records_bf16=raster_cfg.records_bf16)
 
     quats = quat_normalize(model.params.rotation)
     # per-particle SH radiance from the mean-origin direction (matching
