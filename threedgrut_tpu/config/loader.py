@@ -118,6 +118,10 @@ def _compose(config_dir: str, name: str, group: Optional[str] = None) -> dict:
     """Load <config_dir>/[group/]<name>.yaml applying its `defaults` list."""
     rel = os.path.join(group, name) if group else name
     path = os.path.join(config_dir, rel + ".yaml")
+    # sibling (non-"/") defaults resolve relative to THIS file's
+    # directory, hydra-style - `name` itself may carry subdirectories
+    # (e.g. load_config("paper/3dgut/sorted") referencing sorted_colmap)
+    sibling_group = os.path.dirname(rel) or None
     raw = _load_yaml(path)
     defaults = raw.pop("defaults", [])
     self_pos_applied = False
@@ -135,7 +139,7 @@ def _compose(config_dir: str, name: str, group: Optional[str] = None) -> dict:
                 sub = _compose(config_dir, nm, g or None)
             else:
                 # sibling config in the same group (e.g. 3dgut: [3dgrt])
-                sub = _compose(config_dir, item, group)
+                sub = _compose(config_dir, item, sibling_group)
             merged = _deep_merge(merged, sub)
             continue
         if isinstance(item, dict):

@@ -55,14 +55,18 @@ def make_model(conf, dataset):
         default_scale_factor=conf.model.default_scale_factor)
 
     # static capacity: GS densification grows the count (clone/split), so
-    # leave headroom; MCMC has a hard cap (strategy.add.max_n_gaussians)
+    # leave headroom; MCMC has a hard cap (strategy.add.max_n_gaussians).
+    # initialization.capacity_headroom overrides the GS default (growth
+    # beyond capacity is clipped by the strategy, so this is a
+    # memory/size knob, not a correctness one).
     from threedgrut_tpu.models.gaussians import default_capacity_for
     strat = conf.get("strategy", {})
+    headroom = conf.get("initialization", {}).get("capacity_headroom", 4.0)
     if "MCMC" in str(strat.get("method", "")):
         cap_for = lambda n0: default_capacity_for(
             max(n0, strat.get("add", {}).get("max_n_gaussians", n0)))
     else:
-        cap_for = lambda n0: default_capacity_for(n0, headroom=4.0)
+        cap_for = lambda n0: default_capacity_for(n0, headroom=headroom)
 
     init = conf.get("initialization", {}).get("method", "colmap")
     if conf.get("import_ply", {}).get("enabled"):
