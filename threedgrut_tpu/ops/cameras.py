@@ -315,7 +315,11 @@ def project_point_with_shutter(cam: CameraModel, p_world: jnp.ndarray,
         return proj0, valid0
     proj_end, valid_end = project_point(cam, world_to_camera(cam, p_world, cam.t_end, cam.q_end), tolerance)
     proj = jnp.where(valid0[..., None], proj0, proj_end)
-    valid = valid0 | valid_end
+    # reference early-outs (returns invalid) when BOTH the start- and
+    # end-pose projections fail (cameraProjections.cuh:227-232); the
+    # branchless equivalent masks the refined validity with the seed one
+    seeded = valid0 | valid_end
+    valid = seeded
     for _ in range(n_iterations):
         alpha = relative_shutter_time(cam, proj)
         q = quat_slerp(cam.q_start, cam.q_end, alpha[..., None])
@@ -325,7 +329,7 @@ def project_point_with_shutter(cam: CameraModel, p_world: jnp.ndarray,
         proj_i, valid_i = project_point(cam, p_cam, tolerance)
         proj = proj_i
         valid = valid_i
-    return proj, valid
+    return proj, valid & seeded
 
 
 # ---------------------------------------------------------------------------
