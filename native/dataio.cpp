@@ -135,35 +135,11 @@ Image decode_png(const uint8_t* buf, size_t len) {
   return img;
 }
 
-Image decode_file(const std::string& path, int downsample) {
-  Image img;
-  FILE* f = fopen(path.c_str(), "rb");
-  if (!f) {
-    img.error = "open failed: " + path;
-    return img;
-  }
-  fseek(f, 0, SEEK_END);
-  long size = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> buf(size);
-  if (fread(buf.data(), 1, size, f) != size_t(size)) {
-    fclose(f);
-    img.error = "read failed: " + path;
-    return img;
-  }
-  fclose(f);
+Image decode_buffer(const uint8_t* buf, size_t size, const char* label);
 
-  if (size >= 2 && buf[0] == 0xFF && buf[1] == 0xD8) {
-    img = decode_jpeg(buf.data(), buf.size());
-  } else if (size >= 8 && buf[0] == 0x89 && buf[1] == 'P') {
-    img = decode_png(buf.data(), buf.size());
-  } else {
-    img.error = "unknown image format: " + path;
-    return img;
-  }
-  if (!img.ok || downsample <= 1) return img;
-
-  // box-filter downsample by integer factor
+// box-filter downsample by integer factor (in place)
+void box_downsample(Image& img, int downsample) {
+  if (!img.ok || downsample <= 1) return;
   int w2 = img.width / downsample, h2 = img.height / downsample;
   int c = img.channels;
   std::vector<uint8_t> out(size_t(w2) * h2 * c);
@@ -185,6 +161,42 @@ Image decode_file(const std::string& path, int downsample) {
   img.data = std::move(out);
   img.width = w2;
   img.height = h2;
+}
+
+Image decode_file(const std::string& path, int downsample) {
+  Image img;
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) {
+    img.error = "open failed: " + path;
+    return img;
+  }
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(size);
+  if (fread(buf.data(), 1, size, f) != size_t(size)) {
+    fclose(f);
+    img.error = "read failed: " + path;
+    return img;
+  }
+  fclose(f);
+
+  img = decode_buffer(buf.data(), buf.size(), path.c_str());
+  box_downsample(img, downsample);
+  return img;
+}
+
+// format-sniffing decode of an in-memory buffer (JPEG/PNG); the NCore
+// loader path hands encoded frame bytes straight from the SDK
+Image decode_buffer(const uint8_t* buf, size_t size, const char* label) {
+  Image img;
+  if (size >= 2 && buf[0] == 0xFF && buf[1] == 0xD8) {
+    img = decode_jpeg(buf, size);
+  } else if (size >= 8 && buf[0] == 0x89 && buf[1] == 'P') {
+    img = decode_png(buf, size);
+  } else {
+    img.error = std::string("unknown image format: ") + label;
+  }
   return img;
 }
 
@@ -314,6 +326,28 @@ int dataio_decode(const char* path, int downsample, uint8_t* out,
                   int64_t out_capacity, int* width, int* height,
                   int* channels) {
   Image img = decode_file(path, downsample);
+  if (!img.ok) {
+    fprintf(stderr, "dataio: %s\n", img.error.c_str());
+    return 1;
+  }
+  int64_t need = int64_t(img.width) * img.height * img.channels;
+  *width = img.width;
+  *height = img.height;
+  *channels = img.channels;
+  if (out == nullptr) return 0;  // size query
+  if (out_capacity < need) return 2;
+  memcpy(out, img.data.data(), need);
+  return 0;
+}
+
+// one-shot decode of in-memory encoded bytes (NCore SDK frame handles
+// hand encoded JPEG bytes; reference uses simplejpeg/libjpeg-turbo,
+// datasetNcore.py:703-721 - this is the same libjpeg path in-process)
+int dataio_decode_bytes(const uint8_t* data, int64_t data_len,
+                        int downsample, uint8_t* out, int64_t out_capacity,
+                        int* width, int* height, int* channels) {
+  Image img = decode_buffer(data, size_t(data_len), "<bytes>");
+  box_downsample(img, downsample);
   if (!img.ok) {
     fprintf(stderr, "dataio: %s\n", img.error.c_str());
     return 1;

@@ -1,12 +1,17 @@
-"""NCore loader batch contract, exercised against a fake ncore SDK.
+"""NCore loader, exercised against a fake ncore SDK.
 
 Mirrors the reference's monkeypatched optional-dependency pattern
 (threedgrut/export/tests/test_export_import.py:189 installs a fake ppisp
 module): the proprietary `ncore` package never ships, so a fake module
-tree validates the loader's rolling-shutter batch contract end to end,
-including CameraModel construction and a tiny render.
+tree validates the loader end to end - multi-sensor selection with FOV
+filtering, time windowing, encoded-JPEG decode through the native C++
+loader, per-camera ray caches, dilated valid-pixel masks, windowed train
+sampling, validation subsampling, multi-source point clouds with
+dynamic-point filtering + colors, and lidar initialization - plus
+CameraModel construction and a tiny render.
 """
 
+import io
 import sys
 import types
 
@@ -15,15 +20,26 @@ import pytest
 
 
 class FakeSequence:
-    """Two sensors: a rolling-shutter pinhole and a global fisheye."""
+    """Three sensors: rolling-shutter pinhole, global fisheye, and a
+    195-degree ftheta that the default FOV filter must drop; one lidar
+    with per-point colors + dynamic flags; 10 Hz timestamps."""
 
-    camera_ids = ["cam_front", "cam_fish"]
+    camera_ids = ["cam_front", "cam_fish", "cam_omni"]
     lidar_ids = ["lidar_top"]
+    point_cloud_source_ids = ["lidar_top"]
 
     W, H = 32, 24
 
     def num_frames(self, sensor_id):
         return 6 if sensor_id.startswith("cam") else 3
+
+    def frame_timestamps_us(self, sensor_id):
+        n = self.num_frames(sensor_id)
+        return (1_000_000 + np.arange(n, dtype=np.int64) * 100_000)
+
+    def camera_fov_deg(self, cam_id):
+        return {"cam_front": 60.0, "cam_fish": 120.0,
+                "cam_omni": 195.0}[cam_id]
 
     def camera_pose(self, cam_id, fidx):
         m = np.eye(4, dtype=np.float32)
@@ -48,16 +64,56 @@ class FakeSequence:
                         cx=self.W / 2, cy=self.H / 2,
                         radial=[0.02, -0.001, 0.0, 0.0],
                         max_angle=np.pi / 2)
+        if cam_id == "cam_omni":
+            return dict(model="ftheta", cx=self.W / 2, cy=self.H / 2,
+                        angle_to_pixeldist=[0, 10.0, 0, 0, 0, 0],
+                        pixeldist_to_angle=[0, 0.1, 0, 0, 0, 0],
+                        reference_poly=0, max_angle=1.8)
         return dict(model="pinhole", fx=28.0, fy=28.0,
                     cx=self.W / 2, cy=self.H / 2)
 
     def camera_image(self, cam_id, fidx):
-        rng = np.random.default_rng(hash(cam_id) % 1000 + fidx)
-        return (rng.uniform(0, 255, (self.H, self.W, 3))).astype(np.uint8)
+        # smooth gradient + per-(sensor, frame) phase: structured like a
+        # real photo (JPEG on white noise has ~45/255 mean error, which
+        # would make the decode-accuracy assertion meaningless)
+        ph = (abs(hash(cam_id)) % 7) + fidx
+        y, x = np.mgrid[0:self.H, 0:self.W].astype(np.float32)
+        img = np.stack([
+            128 + 100 * np.sin(x / 7.0 + ph),
+            128 + 100 * np.cos(y / 5.0 - ph),
+            128 + 80 * np.sin((x + y) / 9.0 + ph),
+        ], axis=-1)
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def camera_frame_encoded(self, cam_id, fidx):
+        from PIL import Image
+        b = io.BytesIO()
+        Image.fromarray(self.camera_image(cam_id, fidx)).save(
+            b, "JPEG", quality=95)
+        return b.getvalue()
+
+    def camera_mask(self, cam_id):
+        m = np.ones((self.H, self.W), bool)
+        m[:2, :] = False                # hood / body occlusion band
+        return m
 
     def lidar_points_world(self, lid, fidx):
         rng = np.random.default_rng(fidx)
         return rng.normal(0, 1, (50, 3)).astype(np.float32)
+
+    def lidar_origin_world(self, lid, fidx):
+        return np.array([0.1 * fidx, 0.0, -4.0], np.float32)
+
+    def lidar_point_flags(self, lid, fidx):
+        flags = np.zeros(50, np.int32)
+        flags[:5] = 1                   # first 5 points dynamic
+        return flags
+
+    def lidar_point_colors(self, lid, fidx, name):
+        if name != "rgb":
+            return None
+        rng = np.random.default_rng(100 + fidx)
+        return rng.uniform(0, 255, (50, 3)).astype(np.float32)
 
 
 @pytest.fixture()
@@ -84,20 +140,118 @@ class TestNCoreDataset:
             with pytest.raises(ImportError):
                 ncore_mod.NCoreDataset("/nonexistent")
 
-    def test_split_and_geometry(self, fake_ncore):
+    def test_split_geometry_and_fov_filter(self, fake_ncore):
         ds = fake_ncore.NCoreDataset("/fake/seq", split="train",
                                      val_frame_interval=3)
         val = fake_ncore.NCoreDataset("/fake/seq", split="val",
                                       val_frame_interval=3)
+        # cam_omni (195 deg) dropped by the default 190-deg FOV filter;
         # 2 cams x 6 frames; every 3rd frame (0,3) is val
+        assert ds.camera_ids == ["cam_front", "cam_fish"]
         assert len(ds) == 8 and len(val) == 4
         assert ds.get_poses().shape == (8, 4, 4)
         assert ds.get_observer_points().shape == (8, 3)
         assert ds.get_scene_extent() > 0
-        pts = ds.get_point_clouds()
-        assert pts.shape == (150, 3)       # 3 lidar frames x 50
         lo, hi = ds.get_scene_bbox()
         assert np.all(hi >= lo)
+
+    def test_explicit_sensor_selection(self, fake_ncore):
+        ds = fake_ncore.NCoreDataset("/fake/seq", camera_ids=["cam_fish"],
+                                     val_frame_interval=3)
+        assert ds.camera_ids == ["cam_fish"] and len(ds) == 4
+        with pytest.raises(ValueError):
+            fake_ncore.NCoreDataset("/fake/seq", camera_ids=["nope"])
+        # max-FOV override admits the omnidirectional sensor
+        ds_omni = fake_ncore.NCoreDataset(
+            "/fake/seq", camera_ids=["cam_omni"], camera_max_fov_deg=200.0)
+        assert ds_omni.camera_ids == ["cam_omni"]
+
+    def test_time_windowing(self, fake_ncore):
+        # frames at 1.0s..1.5s in 0.1s steps; window [1.15, 1.35) keeps
+        # frames 2,3 per camera (frame 3 of every 3 is val)
+        ds = fake_ncore.NCoreDataset("/fake/seq", split="train",
+                                     val_frame_interval=3,
+                                     seek_offset_sec=0.15,
+                                     duration_sec=0.2)
+        kept = {f for _, f in ds.frames}
+        assert kept == {2}  # frame 3 went to val
+        assert all(f in (2, 3) for _, f in ds.frames)
+
+    def test_point_clouds_dynamic_filter_and_colors(self, fake_ncore):
+        ds = fake_ncore.NCoreDataset("/fake/seq", val_frame_interval=3)
+        clouds = list(ds.get_point_clouds())
+        assert len(clouds) == 3
+        for pc in clouds:
+            assert pc.xyz_end.shape == (45, 3)   # 5 dynamic points dropped
+            assert pc.color is not None and pc.color.max() <= 1.0
+            assert pc.xyz_start.shape == pc.xyz_end.shape
+            # all start points = the sensor origin for that frame
+            assert np.allclose(pc.xyz_start, pc.xyz_start[0])
+        keep_dyn = list(ds.get_point_clouds(non_dynamic_points_only=False))
+        assert keep_dyn[0].xyz_end.shape == (50, 3)
+
+    def test_lidar_init(self, fake_ncore):
+        ds = fake_ncore.NCoreDataset("/fake/seq", val_frame_interval=3)
+        pts, cols, dists = ds.load_lidar_init(num_points=100)
+        assert pts.shape == (100, 3) and cols.shape == (100, 3)
+        assert dists.shape == (100,) and (dists > 0).all()
+
+        from threedgrut_tpu.models.gaussians import (GaussianModelConfig,
+                                                     initialize_from_points)
+        model = initialize_from_points(
+            GaussianModelConfig(), pts, cols,
+            observer_scale=dists * 0.01, capacity=256)
+        assert int(model.n_active) == 100
+
+    def test_native_jpeg_decode_path(self, fake_ncore):
+        ds = fake_ncore.NCoreDataset("/fake/seq", val_frame_interval=3,
+                                     jpeg_backend_cpu="native")
+        b = ds[0]
+        ref = FakeSequence().camera_image(*ds.frames[0]).astype(np.float32)
+        # JPEG-lossy but must correlate strongly with the source frame
+        assert b.rgb_gt.shape == ref.shape
+        err = np.abs(b.rgb_gt * 255.0 - ref).mean()
+        assert err < 20.0
+        # PIL fallback produces the same shape
+        ds_pil = fake_ncore.NCoreDataset("/fake/seq", val_frame_interval=3,
+                                         jpeg_backend_cpu="PIL")
+        assert ds_pil[0].rgb_gt.shape == ref.shape
+
+    def test_masks_and_ray_cache(self, fake_ncore):
+        ds = fake_ncore.NCoreDataset("/fake/seq", val_frame_interval=3,
+                                     n_camera_mask_dilation_iterations=0)
+        b = ds[0]
+        assert b.mask is not None and b.mask.shape == (24, 32, 1)
+        assert b.mask[:2].sum() == 0 and b.mask[2:].min() == 1.0
+        assert b.rays_ori.shape == (24, 32, 3)
+        # dilation grows the invalid region's complement... dilation of
+        # the VALID mask re-admits boundary rows
+        ds2 = fake_ncore.NCoreDataset("/fake/seq", val_frame_interval=3,
+                                      n_camera_mask_dilation_iterations=2)
+        assert ds2[0].mask.sum() >= b.mask.sum()
+        # ray cache: same object returned for repeated frames of a sensor
+        r1 = ds.camera_rays("cam_front", (32, 24))
+        r2 = ds.camera_rays("cam_front", (32, 24))
+        assert r1[0] is r2[0]
+
+    def test_windowed_train_sampling(self, fake_ncore):
+        ds = fake_ncore.NCoreDataset("/fake/seq", split="train",
+                                     val_frame_interval=3,
+                                     sample_full_image=False,
+                                     window_size=8,
+                                     n_samples_per_epoch=11)
+        assert len(ds) == 11
+        b = ds[0]
+        assert b.rgb_gt.shape == (8, 8, 3)
+        assert b.rays_dir.shape == (8, 8, 3)
+
+    def test_val_subsampling(self, fake_ncore):
+        ds = fake_ncore.NCoreDataset("/fake/seq", split="val",
+                                     val_frame_interval=3,
+                                     n_val_image_subsample=2)
+        b = ds[0]
+        assert b.rgb_gt.shape == (12, 16, 3)
+        assert b.rays_dir.shape == (12, 16, 3)
 
     def test_rolling_shutter_batch_contract(self, fake_ncore):
         from threedgrut_tpu.ops.cameras import ShutterType
@@ -120,8 +274,6 @@ class TestNCoreDataset:
 
     @pytest.mark.slow
     def test_fisheye_batch_renders(self, fake_ncore):
-        import jax.numpy as jnp
-
         from scene_utils import make_test_scene
         from threedgrut_tpu.ops.cameras import CameraModelType
         from threedgrut_tpu.ops.ut import UTConfig

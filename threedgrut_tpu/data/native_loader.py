@@ -58,6 +58,14 @@ def _load_lib():
                                   ctypes.POINTER(ctypes.c_int),
                                   ctypes.POINTER(ctypes.c_int)]
     lib.dataio_decode.restype = ctypes.c_int
+    lib.dataio_decode_bytes.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                        ctypes.c_int64, ctypes.c_int,
+                                        ctypes.POINTER(ctypes.c_uint8),
+                                        ctypes.c_int64,
+                                        ctypes.POINTER(ctypes.c_int),
+                                        ctypes.POINTER(ctypes.c_int),
+                                        ctypes.POINTER(ctypes.c_int)]
+    lib.dataio_decode_bytes.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -81,6 +89,37 @@ def decode_image(path: str, downsample: int = 1) -> Optional[np.ndarray]:
     out = np.empty((h.value, w.value, c.value), np.uint8)
     rc = lib.dataio_decode(
         path.encode(), downsample,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(c))
+    return out if rc == 0 else None
+
+
+def decode_image_bytes(data: bytes, downsample: int = 1
+                       ) -> Optional[np.ndarray]:
+    """Native decode of in-memory JPEG/PNG bytes -> uint8 HWC array.
+
+    The NCore loader's fast JPEG path (reference datasetNcore.py:703-721
+    uses simplejpeg/libjpeg-turbo on the SDK's encoded frame bytes; this
+    is the equivalent in-process libjpeg route). Returns None when the
+    native lib is unavailable or the decode fails (callers fall back to
+    PIL).
+    """
+    lib = _load_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    src = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.dataio_decode_bytes(src, buf.size, downsample, None, 0,
+                                 ctypes.byref(w), ctypes.byref(h),
+                                 ctypes.byref(c))
+    if rc != 0:
+        return None
+    out = np.empty((h.value, w.value, c.value), np.uint8)
+    rc = lib.dataio_decode_bytes(
+        src, buf.size, downsample,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
         ctypes.byref(w), ctypes.byref(h), ctypes.byref(c))
     return out if rc == 0 else None

@@ -126,6 +126,47 @@ def export_model(state, path: str):
                np.asarray(p.features_specular[:n]))
 
 
+def read_point_cloud_ply(path: str):
+    """Read a plain point-cloud PLY (cuSFM fused point clouds,
+    initialization/fused_point_cloud.yaml): returns (xyz [N,3] f32,
+    rgb [N,3] f32 in [0,1]; mid-gray when the file has no colors)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    header_end = data.index(b"end_header\n") + len(b"end_header\n")
+    header = data[:header_end].decode("ascii").splitlines()
+    n = 0
+    props = []
+    fmt = None
+    for line in header:
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element" and parts[1] == "vertex":
+            n = int(parts[2])
+        elif parts[0] == "property" and len(parts) == 3:
+            props.append((parts[2], parts[1]))
+    if fmt != "binary_little_endian":
+        raise ValueError(f"unsupported PLY format {fmt}")
+    typemap = {"float": "f4", "float32": "f4", "double": "f8",
+               "uchar": "u1", "int": "i4", "uint": "u4"}
+    dtype = np.dtype([(name, typemap[t]) for name, t in props])
+    arr = np.frombuffer(data[header_end:header_end + n * dtype.itemsize],
+                        dtype=dtype)
+    xyz = np.stack([arr["x"], arr["y"], arr["z"]],
+                   axis=1).astype(np.float32)
+    names = {nm for nm, _ in props}
+    if {"red", "green", "blue"} <= names:
+        rgb = np.stack([arr["red"], arr["green"], arr["blue"]],
+                       axis=1).astype(np.float32)
+        if rgb.max() > 1.5:
+            rgb = rgb / 255.0
+    else:
+        rgb = np.full((n, 3), 0.5, np.float32)
+    return xyz, rgb
+
+
 def import_model(path: str, config=None, capacity: Optional[int] = None):
     """Load a PLY into a fresh GaussianState (model.init_from_ply)."""
     import jax.numpy as jnp

@@ -222,6 +222,30 @@ def random_initialization(cfg: GaussianModelConfig, n: int,
                                   capacity=capacity, seed=seed)
 
 
+def state_from_checkpoint(path: str, cfg: Optional[GaussianModelConfig]
+                          = None) -> GaussianState:
+    """Build a GaussianState from a trainer .npz checkpoint
+    (initialization/checkpoint.yaml; reference model.init_from_checkpoint
+    model.py:613 - the model params only, not the optimizer state:
+    `conf.resume` is the full-resume path, this is re-initialization)."""
+    import jax.numpy as jnp
+    data = np.load(path)
+    get = lambda k: (jnp.asarray(data[f"params/{k}"])
+                     if f"params/{k}" in data.files else None)
+    params = GaussianParams(
+        positions=get("positions"), rotation=get("rotation"),
+        scale=get("scale"), density=get("density"),
+        features_albedo=get("features_albedo"),
+        features_specular=get("features_specular"),
+        features=get("features"))
+    degree = int(data["n_active_features"])
+    cfg = cfg or GaussianModelConfig(max_sh_degree=max(degree, 0))
+    return GaussianState(params=params,
+                         n_active=jnp.asarray(data["n_active"]),
+                         n_active_features=jnp.asarray(degree, jnp.int32),
+                         config=cfg)
+
+
 def _knn_mean_dist(points: np.ndarray, k: int = 4) -> np.ndarray:
     """sqrt(mean of squared distances to 3 nearest neighbors)
     (threedgrut/model/geometry.py k_nearest_neighbors usage, model.py:731)."""

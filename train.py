@@ -34,6 +34,28 @@ def make_dataset(conf, split="train"):
                 "gsplat_image_downscale", False))
     if dtype == "scannetpp":
         return ScannetppDataset(conf.path, split=split, downsample=down)
+    if dtype == "ncore":
+        from threedgrut_tpu.data.ncore import NCoreDataset
+        ds = conf.dataset
+        tr = ds.get("train", {})
+        return NCoreDataset(
+            conf.path, split=split,
+            camera_ids=ds.get("camera_ids"),
+            lidar_ids=ds.get("lidar_ids"),
+            downsample=float(ds.get("downsample", 1.0)),
+            seek_offset_sec=tr.get("seek_offset_sec", 0.0),
+            duration_sec=tr.get("duration_sec", -1),
+            sample_full_image=tr.get("sample_full_image", True),
+            window_size=tr.get("window_size", 256),
+            n_samples_per_epoch=tr.get("n_samples_per_epoch", 1000),
+            n_train_sample_camera_rays=tr.get(
+                "n_train_sample_camera_rays", 4096),
+            n_val_image_subsample=ds.get("n_val_image_subsample", 1),
+            val_frame_interval=ds.get("val_frame_interval", 8),
+            jpeg_backend_cpu=("native" if ds.get(
+                "jpeg_backend_cpu", "native") != "PIL" else "PIL"),
+            lidar_color_generic_data_name=ds.get(
+                "lidar_color_generic_data_name", "rgb"))
     raise ValueError(f"unknown dataset type {dtype}")
 
 
@@ -69,6 +91,7 @@ def make_model(conf, dataset):
         cap_for = lambda n0: default_capacity_for(n0, headroom=headroom)
 
     init = conf.get("initialization", {}).get("method", "colmap")
+    iconf = conf.get("initialization", {})
     if conf.get("import_ply", {}).get("enabled"):
         from threedgrut_tpu.export.ply import import_model
         return import_model(conf.import_ply.path, mc)
@@ -77,6 +100,28 @@ def make_model(conf, dataset):
         return initialize_from_points(mc, pts, rgb.astype(np.float32),
                                       capacity=cap_for(len(pts)),
                                       seed=conf.seed_initialization)
+    if init in ("lidar", "point_cloud") and hasattr(dataset,
+                                                    "load_lidar_init"):
+        # lidar/point-cloud initialization (reference model.py:693-730):
+        # observer-distance scales when use_observation_points
+        pts, rgb, dists = dataset.load_lidar_init(
+            num_points=iconf.get("num_points"))
+        obs_scale = (dists * iconf.get("observation_scale_factor", 0.01)
+                     if iconf.get("use_observation_points", True)
+                     else None)
+        return initialize_from_points(mc, pts, rgb.astype(np.float32),
+                                      observer_scale=obs_scale,
+                                      capacity=cap_for(len(pts)),
+                                      seed=conf.seed_initialization)
+    if init == "fused_point_cloud":
+        from threedgrut_tpu.export.ply import read_point_cloud_ply
+        pts, rgb = read_point_cloud_ply(iconf["fused_point_cloud_path"])
+        return initialize_from_points(mc, pts, rgb,
+                                      capacity=cap_for(len(pts)),
+                                      seed=conf.seed_initialization)
+    if init == "checkpoint":
+        from threedgrut_tpu.models.gaussians import state_from_checkpoint
+        return state_from_checkpoint(iconf["path"], mc)
     n = conf.get("initialization", {}).get("num_gaussians", 100000)
     extent = dataset.get_scene_extent()
     return random_initialization(mc, n, extent=extent,
