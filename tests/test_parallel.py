@@ -172,3 +172,57 @@ def test_depth_sliced_train_step_grads():
     np.testing.assert_allclose(float(metrics["total"]),
                                float(ref_loss(params_d)), rtol=3e-3,
                                atol=1e-4)
+
+
+@pytest.mark.slow
+def test_dp_x_mp_matches_single_device():
+    """Combined 2D (dp x mp) step: loss matches single-device L1."""
+    import importlib.util
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from threedgrut_tpu.ops.ut import UTConfig
+    from threedgrut_tpu.optimizers.adam import init_adam_state
+    from threedgrut_tpu.parallel.dp import replicate_to_mesh
+    from threedgrut_tpu.parallel.particle import make_dp_sliced_train_step
+    from threedgrut_tpu.render.common import RasterConfig
+    from threedgrut_tpu.render.gut import render_gut
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    n_dev = min(4, len(jax.devices()))
+    assert n_dev >= 4, "needs the 8-device virtual mesh conftest"
+    shape = (2, 2)
+    res = (32, 16 * shape[0])
+    cam, model = mod._build_scene(n=96, cap=96, res=res)
+    params_d = dict(positions=model.params.positions,
+                    rotation=model.params.rotation,
+                    scale=model.params.scale, density=model.params.density,
+                    features_albedo=model.params.features_albedo,
+                    features_specular=model.params.features_specular)
+    rng = np.random.default_rng(2)
+    gt = jnp.asarray(rng.uniform(0, 1,
+                                 (res[1], res[0], 3)).astype(np.float32))
+    lrs = {k: jnp.asarray(1e-3, jnp.float32) for k in params_d}
+    rc = RasterConfig(max_pairs=1 << 12)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(shape), ("dp", "mp"))
+    step = make_dp_sliced_train_step(mesh, cam, UTConfig(), rc, model,
+                                     sh_degree=1)
+    p_m = replicate_to_mesh(mesh, params_d)
+    o_m = replicate_to_mesh(mesh, init_adam_state(params_d))
+    gt_s = jax.device_put(gt, NamedSharding(mesh, P("dp", None, None)))
+    _, _, metrics = step(p_m, o_m, lrs, gt_s, model.n_active, cam)
+
+    def ref_loss(pd):
+        m = model.replace(params=model.params.replace(**pd))
+        out = render_gut(cam, UTConfig(), rc, m, sh_degree=1,
+                         interpret=True)
+        return jnp.mean(jnp.abs(out["pred_features"] - gt))
+
+    np.testing.assert_allclose(float(metrics["total"]),
+                               float(ref_loss(params_d)), rtol=3e-3,
+                               atol=1e-4)

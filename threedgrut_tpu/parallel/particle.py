@@ -186,3 +186,76 @@ def make_sliced_train_step(mesh: Mesh, ut_cfg: UTConfig,
         return new_p, new_o, {"total": loss}
 
     return step
+
+
+def make_dp_sliced_train_step(mesh: Mesh, cam_template: CameraModel,
+                              ut_cfg: UTConfig, raster_cfg: RasterConfig,
+                              base_model: GaussianState, sh_degree: int,
+                              lambda_l1: float = 1.0, eps: float = 1e-15):
+    """Combined data x particle parallelism over a 2D ("dp", "mp") mesh.
+
+    Each device owns (image row band over "dp") x (depth slab over
+    "mp"): the gt image shards on rows across "dp" and is replicated
+    across "mp"; parameters replicate everywhere. Per device: render the
+    band camera with the slab-masked model, exclusive-product combine
+    over "mp" (combine_slabs) to assemble the band image, L1 band loss.
+    Gradients pmean over "mp" (slabs are disjoint; removes the
+    all-gather transpose's D factor, see make_sliced_train_step) then
+    psum over "dp" (band partials sum to the image-wide loss). L1 only:
+    the exact halo-exchange SSIM of parallel/dp.py composes with "mp"
+    the same way but is not needed for the sharding dryrun.
+    """
+    from ..parallel.dp import band_camera
+    from ..optimizers import adam as adam_mod
+
+    n_dp = mesh.shape["dp"]
+    full_h = cam_template.resolution[1]
+    assert full_h % (16 * n_dp) == 0, (
+        "image height must split into 16-px tile bands across dp")
+    band_h = full_h // n_dp
+    band_cam_static = band_camera(cam_template, band_h)
+
+    def device_loss(params_d, gt_band, n_active, cam):
+        dev = jax.lax.axis_index("dp")
+        principal = cam.principal - jnp.array(
+            [0.0, band_h], jnp.float32) * dev.astype(jnp.float32)
+        cam_b = band_cam_static.replace(
+            focal=cam.focal, principal=principal, radial=cam.radial,
+            tangential=cam.tangential, thin_prism=cam.thin_prism,
+            max_angle=cam.max_angle,
+            ftheta_angle_to_pixeldist=cam.ftheta_angle_to_pixeldist,
+            ftheta_pixeldist_to_angle=cam.ftheta_pixeldist_to_angle,
+            ftheta_linear_cde=cam.ftheta_linear_cde,
+            t_start=cam.t_start, q_start=cam.q_start,
+            t_end=cam.t_end, q_end=cam.q_end)
+        model = base_model.replace(
+            params=base_model.params.replace(**params_d),
+            n_active=n_active)
+        out = render_depth_sliced(cam_b, ut_cfg, raster_cfg, model,
+                                  sh_degree, "mp")
+        l1 = jnp.mean(jnp.abs(out["pred_features"] - gt_band))
+        return lambda_l1 * l1 / n_dp
+
+    def per_device(params_d, gt_band, n_active, cam):
+        loss, grads = jax.value_and_grad(device_loss)(
+            params_d, gt_band, n_active, cam)
+        grads = jax.lax.pmean(grads, "mp")
+        grads = jax.lax.psum(grads, "dp")
+        loss = jax.lax.pmean(jax.lax.psum(loss, "dp"), "mp")
+        return loss, grads
+
+    sharded = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P("dp", None, None), P(), P()),
+        out_specs=(P(), P()), check_vma=False)
+
+    @jax.jit
+    def step(params_d, opt_state, lrs, rgb_gt, n_active, cam):
+        loss, grads = sharded(params_d, rgb_gt, n_active, cam)
+        active = jnp.arange(base_model.capacity,
+                            dtype=jnp.int32) < n_active
+        new_p, new_o = adam_mod.adam_step(params_d, grads, opt_state, lrs,
+                                          eps=eps, update_mask=active)
+        return new_p, new_o, {"total": loss}
+
+    return step
