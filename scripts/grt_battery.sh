@@ -1,0 +1,19 @@
+#!/bin/bash
+# 3DGRT sorted-path lever battery (VERDICT r2 item 3).
+# One TPU process at a time; each config is a fresh process because
+# THREEDGRUT_CHUNK / GRT_* are read at import.
+# Usage: bash scripts/grt_battery.sh [logfile]
+set -u
+LOG=${1:-/tmp/grt_battery.log}
+cd /root/repo
+run() {
+  echo "=== $* ===" | tee -a "$LOG"
+  env "$@" timeout 3000 python tests/tpu_bench_grt.py 2>&1 \
+    | grep -v WARNING | tee -a "$LOG"
+}
+# current default (round-1 carryover): W=64 exact f32
+run GRT_SORT_WINDOW=16 GRT_RECORDS_BF16=1 GRT_EXACT_KILL=0
+run GRT_SORT_WINDOW=16 GRT_RECORDS_BF16=1 GRT_EXACT_KILL=0 THREEDGRUT_CHUNK=128
+run GRT_SORT_WINDOW=32 GRT_RECORDS_BF16=1 GRT_EXACT_KILL=0 THREEDGRUT_CHUNK=128
+run GRT_SORT_WINDOW=16 GRT_RECORDS_BF16=0 GRT_EXACT_KILL=1 THREEDGRUT_CHUNK=128
+echo "battery done" | tee -a "$LOG"

@@ -48,6 +48,26 @@ def main():
     lrs = {k: jnp.asarray(1e-3, jnp.float32) for k in params_d}
     active = jnp.arange(cap, dtype=jnp.int32) < model.n_active
 
+    if os.environ.get("GRT_QUALITY"):
+        # image fidelity of the windowed per-ray sort vs full-chunk
+        # ordering (the widest window the kernel supports) on this scene
+        from threedgrut_tpu.ops.pallas.raster import CHUNK
+
+        def frame(window):
+            m = model.replace(params=model.params.replace(**params_d))
+            out = render_grt(cam, ut_cfg, rc.replace(sort_window=window),
+                             m, sh_degree=3)
+            return out["pred_features"]
+
+        ref = np.asarray(jax.jit(frame, static_argnums=0)(CHUNK))
+        img = np.asarray(jax.jit(frame, static_argnums=0)(rc.sort_window))
+        mse = float(np.mean((ref - img) ** 2))
+        print(json.dumps({
+            "metric": "3dgrt_sort_window_psnr_vs_fullchunk",
+            "window": rc.sort_window,
+            "value": round(10 * np.log10(1.0 / max(mse, 1e-12)), 2),
+            "unit": "dB"}))
+
     def one_step(pd, opt):
         def loss_fn(p):
             m = model.replace(params=model.params.replace(**p))

@@ -60,7 +60,12 @@ def main():
             cam, ut_cfg, m.params.positions, m.params.rotation,
             m.get_scale(), m.get_density()[:, 0], m.active_mask())
 
+    only = os.environ.get("THREEDGRUT_VARIANTS")
+    only = set(only.split(",")) if only else None
+
     def variant(tag, rc):
+        if only is not None and tag not in only:
+            return
         out = jax.jit(lambda pd: render_gut(
             cam, ut_cfg, rc, model.replace(
                 params=model.params.replace(**pd)),

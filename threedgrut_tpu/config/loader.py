@@ -357,6 +357,11 @@ def to_trainer_config(conf: ConfigNode):
             features_max_steps=sched.get("features", {}).get(
                 "max_steps", 30000)),
         gs=gs_cfg, mcmc=mcmc_cfg, ut=ut_cfg, raster=raster_cfg,
+        # pin the pair budget (auto_max_pairs=false) for long runs on a
+        # cold compile cache: every budget recalibration otherwise swaps
+        # in a freshly-compiled group program (minutes each via the
+        # remote compile service)
+        auto_max_pairs=render.get("auto_max_pairs", True),
         init_n_features=prog.get("init_n_features", 0),
         max_n_features=prog.get("max_n_features", 3),
         increase_frequency=prog.get("increase_frequency", 1000),

@@ -68,14 +68,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..hit import particle_response, particle_response_dsq
 
 TILE_PIX = 256  # 16 x 16
-# Candidates per streamed chunk (lane width of the compute blocks). 256
-# (two 128-lane tiles) halves loop/DMA-wait overhead vs 128 at the same
-# total math - the compositing helpers are all lane-width generic.
-# candidate-chunk width (lanes). 256 default; 128 halves the dead-lane
-# padding of short tile segments (mean ~240 pairs/tile at bench scale)
-# at the cost of more per-chunk loop/DMA overhead - experiment knob,
-# must stay a multiple of the 128-lane DMA alignment.
-CHUNK = int(os.environ.get("THREEDGRUT_CHUNK", "256"))
+# Candidates per streamed chunk (lane width of the compute blocks).
+# 128 adopted as default from the round-3 on-chip A/B
+# (tests/tpu_profile15.py, THREEDGRUT_CHUNK=128): vs 256 it cuts padded
+# lane-evals 317M -> 235M on the bench workload (tools/measure_lanes.py)
+# for a measured train-step win of 56.17 -> 53.64 ms (bf16+nokill
+# variants); the extra per-chunk loop/DMA overhead eats part of the
+# lane saving in fwd (26.5 -> 26.1) but bwd keeps it. Chunk-ALIGNED
+# segments were re-measured OUT at 128 too (75.5 ms step: the +30%
+# pair padding inflates expand/gather/fold far beyond the lane win).
+# Must stay a multiple of the 128-lane DMA alignment.
+CHUNK = int(os.environ.get("THREEDGRUT_CHUNK", "128"))
 
 # retained for backwards compatibility with callers sizing SH records
 RECORD_DIM = 16
