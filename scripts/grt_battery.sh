@@ -13,7 +13,7 @@ run() {
 }
 # current default (round-1 carryover): W=64 exact f32
 run GRT_SORT_WINDOW=16 GRT_RECORDS_BF16=1 GRT_EXACT_KILL=0
-run GRT_SORT_WINDOW=16 GRT_RECORDS_BF16=1 GRT_EXACT_KILL=0 THREEDGRUT_CHUNK=128
+run GRT_SORT_WINDOW=16 GRT_RECORDS_BF16=1 GRT_EXACT_KILL=0 THREEDGRUT_CHUNK=128 GRT_QUALITY=1
 run GRT_SORT_WINDOW=32 GRT_RECORDS_BF16=1 GRT_EXACT_KILL=0 THREEDGRUT_CHUNK=128
 run GRT_SORT_WINDOW=16 GRT_RECORDS_BF16=0 GRT_EXACT_KILL=1 THREEDGRUT_CHUNK=128
 echo "battery done" | tee -a "$LOG"

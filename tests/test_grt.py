@@ -207,15 +207,21 @@ class TestAcceleratedTrace:
                                    np.asarray(brute["pred_opacity"]),
                                    atol=1e-5, rtol=1e-5)
         # sorted (production) mode: the grid repacks candidates, so the
-        # 256-lane re-sort windows fall on different chunk boundaries ->
-        # small localized differences only
+        # CHUNK-lane re-sort windows fall on different chunk boundaries
+        # -> small localized differences only. Bounds calibrated per
+        # CHUNK: narrower windows (CHUNK=128 default since round 3)
+        # leave more cross-window inversions to differ between the two
+        # packings (measured mean 5.7e-4 / max 0.075 at 128 on this
+        # scene vs ~1e-5 / 0.03 at 256).
         brute_s = trace(model, jnp.asarray(ro), jnp.asarray(rd),
                         accelerate=False, **kwargs)
         accel_s = trace(model, jnp.asarray(ro), jnp.asarray(rd),
                         accelerate=True, **gkw, **kwargs)
         d = np.abs(np.asarray(accel_s["pred_features"])
                    - np.asarray(brute_s["pred_features"]))
-        assert d.mean() < 1e-4 and d.max() < 0.05, (d.mean(), d.max())
+        from threedgrut_tpu.ops.pallas.raster import CHUNK
+        mean_b, max_b = (1e-4, 0.05) if CHUNK >= 256 else (2e-3, 0.15)
+        assert d.mean() < mean_b and d.max() < max_b, (d.mean(), d.max())
 
     @pytest.mark.slow
     def test_accelerated_gradients_finite_and_match(self):

@@ -35,13 +35,14 @@ def main():
                        focal=(1.1 * side, 1.1 * side),
                        principal=(side / 2, side / 2))
     ut_cfg = UTConfig()
+    # defaults mirror configs/render/3dgrt.yaml (round-3 adoption)
     rc = RasterConfig(max_pairs=86 * 8192,
                       sort_window=int(os.environ.get("GRT_SORT_WINDOW",
-                                                     "64")),
+                                                     "16")),
                       records_bf16=bool(int(os.environ.get(
-                          "GRT_RECORDS_BF16", "0"))),
+                          "GRT_RECORDS_BF16", "1"))),
                       exact_kill=bool(int(os.environ.get(
-                          "GRT_EXACT_KILL", "1"))))
+                          "GRT_EXACT_KILL", "0"))))
     rng = np.random.default_rng(1)
     gt = jnp.asarray(rng.uniform(0, 1, (side, side, 3)).astype(np.float32))
     opt_state = init_adam_state(params_d)
