@@ -92,10 +92,13 @@ def main():
                        focal=(1.1 * side, 1.1 * side),
                        principal=(side / 2, side / 2))
     ut_cfg = UTConfig()
-    # total pre-cull pairs 690,641 for this scene (+2%); bf16 records +
-    # relaxed transmittance-kill adopted from the round-2 on-chip A/B
-    # (tests/tpu_profile15.py: train step 59.85 -> 56.17 ms)
-    rc = RasterConfig(max_pairs=86 * 8192, records_bf16=True,
+    # total pre-cull pairs 690,641 for this scene (+2%). Relaxed
+    # transmittance-kill adopted from the round-2 on-chip A/B
+    # (tests/tpu_profile15.py); records_bf16 REJECTED in round 3 — the
+    # bf16 geometry rounding cost ~5 dB on the 30k convergence protocol
+    # (configs/render/3dgut.yaml rationale), so benching with it would
+    # claim speed from a setting real training can't use.
+    rc = RasterConfig(max_pairs=86 * 8192, records_bf16=False,
                       exact_kill=False)
     gt = jnp.asarray(rng.uniform(0, 1, (side, side, 3)).astype(np.float32))
     opt_state = init_adam_state(params_d)
