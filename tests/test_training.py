@@ -258,6 +258,49 @@ class TestGroupedDispatch:
         m = tr.validate()
         assert np.isfinite(m["psnr"])
 
+    @pytest.mark.slow
+    def test_fused_events_match_host_path(self):
+        """Strategy events fused as the group program's static suffix
+        (trainer._build_train_group end_events) must be numerically
+        identical to the host-sequenced _post_optimizer_step path.
+
+        Split sampling is the only rng consumer inside GS events; with
+        split disabled (threshold inf) clone/prune/reset are all
+        deterministic, so grouped-with-fused-events and per-step paths
+        must agree to float tolerance."""
+        def cfg(tr):
+            tr.conf.gs = tr.conf.gs.replace(
+                split_grad_threshold=1e9,
+                clone_grad_threshold=1e-8,   # guarantee clones fire
+                # nothing classifies as "big": all qualifying particles
+                # take the (deterministic) clone branch, never split
+                relative_size_threshold=1e3,
+                reset_density_frequency=16,
+                reset_density_start=0, reset_density_end=100)
+            return tr
+
+        tr_a = cfg(make_trainer("gs"))
+        tr_b = cfg(make_trainer("gs"))
+        n = 20  # covers densify+prune at 8, 16 and reset at 16
+        tr_a.run_training(max_steps=n, group_steps=False)
+        tr_b.run_training(max_steps=n, group_steps=True)
+        # the grouped path must actually have fused events in-program
+        fused = [k for k in tr_b._train_step_cache
+                 if isinstance(k, tuple) and k[0] == "group" and k[5]]
+        assert fused, "no group program carried end_events"
+        assert int(tr_a.model.n_active) == int(tr_b.model.n_active)
+        assert int(tr_a.model.n_active) > 96  # clones actually happened
+        pa, pb = tr_a._params_dict(), tr_b._params_dict()
+        na = int(tr_a.model.n_active)
+        for k in pa:
+            a, b = np.asarray(pa[k]), np.asarray(pb[k])
+            np.testing.assert_allclose(a[:na], b[:na], rtol=1e-3,
+                                       atol=1e-4, err_msg=k)
+        np.testing.assert_allclose(
+            np.asarray(tr_a.gs_buffers.grad_norm_accum),
+            np.asarray(tr_b.gs_buffers.grad_norm_accum),
+            rtol=1e-3, atol=1e-4)
+
 
 class Test3DGRTAppConfig:
     """The 3dgrt app YAML must reach the kernel with 3DGRT semantics

@@ -498,7 +498,8 @@ class Trainer:
     def _build_train_group(self, sh_degree: int, k_steps: int,
                            with_grad_buffer: bool,
                            with_perturb: bool = False,
-                           with_ema: bool = False):
+                           with_ema: bool = False,
+                           end_events: tuple = ()):
         """K train steps fused into ONE device dispatch via lax.scan.
 
         The reference pays per-iteration kernel-launch overhead on every
@@ -510,16 +511,29 @@ class Trainer:
         (strategy/gs.py:130-141), MCMC's every-step position
         perturbation (with_perturb), and the NHT decoder's EMA shadow
         (with_ema; feature_decoder.py ema_update fires every step).
+
+        ``end_events``: strategy events firing AT the group's final step,
+        fused as a static suffix of the same program. ``_plan_group``
+        guarantees a group ends exactly on event steps, so the suffix
+        needs no in-scan lax.cond; the op order matches the host-
+        sequenced ``_post_optimizer_step`` exactly (GS: densify ->
+        prune -> reset -> decay; MCMC: relocate -> add). Fusing removes
+        the per-event program swaps that dominated the densification-
+        phase wall rate (round-2 NOTES: 5-7 it/s vs 16+ coasting).
         """
         core = self._make_step_core(sh_degree)
         base_model = self.model
         noise_lr = self.conf.mcmc.noise_lr
         ema_decay = (self.decoder.ema_decay
                      if self.decoder is not None else 0.0)
+        gs_conf = self.conf.gs
+        mcmc_conf = self.conf.mcmc
+        scene_extent = self.scene_extent
 
         @jax.jit
         def group_fn(params_d, opt_state, gs_accum, gs_denom, ema_shadow,
-                     n_active, lrs_stack, gts, keys, cams, frame_idxs):
+                     n_active, lrs_stack, gts, keys, cams, frame_idxs,
+                     event_key):
             def body(carry, xs):
                 pd, opt, ga, gd, ema = carry
                 lrs, gt, key, cam, fidx = xs
@@ -551,7 +565,53 @@ class Trainer:
             (pd, opt, ga, gd, ema), metrics = jax.lax.scan(
                 body, (params_d, opt_state, gs_accum, gs_denom, ema_shadow),
                 (lrs_stack, gts, keys, cams, frame_idxs), length=k_steps)
-            return pd, opt, ga, gd, ema, metrics
+
+            ev_stats = {}
+            if end_events:
+                gauss_d = {k2: v for k2, v in pd.items()
+                           if k2 not in ("nht_decoder", "ppisp")}
+                st = base_model.replace(
+                    params=base_model.params.replace(**gauss_d),
+                    n_active=n_active)
+                bufs = gs_strategy.GSBuffers(ga, gd)
+                if "densify" in end_events:
+                    st, opt, bufs, dstats = gs_strategy.densify(
+                        st, opt, bufs, scene_extent,
+                        jax.random.fold_in(event_key, 1),
+                        clone_grad_threshold=gs_conf.clone_grad_threshold,
+                        split_grad_threshold=gs_conf.split_grad_threshold,
+                        relative_size_threshold=(
+                            gs_conf.relative_size_threshold),
+                        n_split=gs_conf.split_n_gaussians)
+                    ev_stats.update(dstats)
+                if "prune" in end_events:
+                    st, opt, bufs, n_pruned = gs_strategy.prune_opacity(
+                        st, opt, bufs, gs_conf.prune_density_threshold)
+                    ev_stats["n_pruned"] = n_pruned
+                if "reset" in end_events:
+                    st, opt = gs_strategy.reset_density(
+                        st, opt, gs_conf.new_max_density)
+                if "decay" in end_events:
+                    st = gs_strategy.decay_density(
+                        st, gs_conf.density_decay_gamma)
+                if "relocate" in end_events:
+                    st, opt, n_rel = mcmc_strategy.relocate(
+                        st, opt, jax.random.fold_in(event_key, 2),
+                        opacity_threshold=mcmc_conf.opacity_threshold,
+                        n_max=mcmc_conf.binom_n_max)
+                    ev_stats["n_relocated"] = n_rel
+                if "add" in end_events:
+                    st, opt, n_added = mcmc_strategy.add_gaussians(
+                        st, opt, jax.random.fold_in(event_key, 3),
+                        max_n=mcmc_conf.max_n_gaussians,
+                        n_max=mcmc_conf.binom_n_max)
+                    ev_stats["n_added"] = n_added
+                ga, gd = bufs.grad_norm_accum, bufs.grad_norm_denom
+                pd = dict(pd)
+                for k2 in gauss_d:
+                    pd[k2] = getattr(st.params, k2)
+                n_active = st.n_active
+            return pd, opt, ga, gd, ema, n_active, ev_stats, metrics
 
         return group_fn
 
@@ -644,13 +704,45 @@ class Trainer:
                 self.gs_buffers, grads["positions"],
                 self.model.params.positions, sensor_position(cam))
 
-    def _post_optimizer_step(self, skip_perturb: bool = False):
+    def _group_end_events(self, end_step: int) -> tuple:
+        """Strategy events firing at ``end_step`` that the fused group
+        program applies as a static suffix (same op order as the host
+        path below). Only the events whose ops are pure capacity-static
+        functions ride in-program; prune_scale / weight telemetry (host
+        data deps) stay host-side."""
+        ev = []
+        if self.conf.strategy == "gs":
+            c = self.conf.gs
+            for name, (s, e, f) in (
+                    ("densify", (c.densify_start, c.densify_end,
+                                 c.densify_frequency)),
+                    ("prune", (c.prune_start, c.prune_end,
+                               c.prune_frequency)),
+                    ("reset", (c.reset_density_start, c.reset_density_end,
+                               c.reset_density_frequency)),
+                    ("decay", (c.density_decay_start, c.density_decay_end,
+                               c.density_decay_frequency))):
+                if strat_base.check_step_condition(end_step, s, e, f):
+                    ev.append(name)
+        elif self.conf.strategy == "mcmc":
+            c = self.conf.mcmc
+            for name, (s, e, f) in (
+                    ("relocate", (c.relocate_start, c.relocate_end,
+                                  c.relocate_frequency)),
+                    ("add", (c.add_start, c.add_end, c.add_frequency))):
+                if strat_base.check_step_condition(end_step, s, e, f):
+                    ev.append(name)
+        return tuple(ev)
+
+    def _post_optimizer_step(self, skip_perturb: bool = False,
+                             skip_events: tuple = ()):
         step = self.global_step
         if self.conf.strategy == "gs":
             c = self.conf.gs
-            if strat_base.check_step_condition(step, c.densify_start,
-                                               c.densify_end,
-                                               c.densify_frequency):
+            if "densify" not in skip_events and \
+                    strat_base.check_step_condition(step, c.densify_start,
+                                                    c.densify_end,
+                                                    c.densify_frequency):
                 self.key, k = jax.random.split(self.key)
                 self.model, self.opt_state, self.gs_buffers, stats = \
                     gs_strategy.densify(
@@ -664,9 +756,10 @@ class Trainer:
                     self._pending_event_stats.append(
                         (step, "densify", dict(stats,
                                                n=self.model.n_active)))
-            if strat_base.check_step_condition(step, c.prune_start,
-                                               c.prune_end,
-                                               c.prune_frequency):
+            if "prune" not in skip_events and \
+                    strat_base.check_step_condition(step, c.prune_start,
+                                                    c.prune_end,
+                                                    c.prune_frequency):
                 self.model, self.opt_state, self.gs_buffers, n_pruned = \
                     gs_strategy.prune_opacity(self.model, self.opt_state,
                                               self.gs_buffers,
@@ -675,14 +768,18 @@ class Trainer:
                     self._pending_event_stats.append(
                         (step, "pruned", dict(n_pruned=n_pruned,
                                               n=self.model.n_active)))
-            if strat_base.check_step_condition(step, c.reset_density_start,
-                                               c.reset_density_end,
-                                               c.reset_density_frequency):
+            if "reset" not in skip_events and \
+                    strat_base.check_step_condition(step,
+                                                    c.reset_density_start,
+                                                    c.reset_density_end,
+                                                    c.reset_density_frequency):
                 self.model, self.opt_state = gs_strategy.reset_density(
                     self.model, self.opt_state, c.new_max_density)
-            if strat_base.check_step_condition(step, c.density_decay_start,
-                                               c.density_decay_end,
-                                               c.density_decay_frequency):
+            if "decay" not in skip_events and \
+                    strat_base.check_step_condition(step,
+                                                    c.density_decay_start,
+                                                    c.density_decay_end,
+                                                    c.density_decay_frequency):
                 self.model = gs_strategy.decay_density(
                     self.model, c.density_decay_gamma)
             if strat_base.check_step_condition(step, c.prune_scale_start,
@@ -723,16 +820,19 @@ class Trainer:
                          dict(n_pruned=n_pruned, n=self.model.n_active)))
         else:
             c = self.conf.mcmc
-            if strat_base.check_step_condition(step, c.relocate_start,
-                                               c.relocate_end,
-                                               c.relocate_frequency):
+            if "relocate" not in skip_events and \
+                    strat_base.check_step_condition(step, c.relocate_start,
+                                                    c.relocate_end,
+                                                    c.relocate_frequency):
                 self.key, k = jax.random.split(self.key)
                 self.model, self.opt_state, n_rel = mcmc_strategy.relocate(
                     self.model, self.opt_state, k,
                     opacity_threshold=c.opacity_threshold,
                     n_max=c.binom_n_max)
-            if strat_base.check_step_condition(step, c.add_start, c.add_end,
-                                               c.add_frequency):
+            if "add" not in skip_events and \
+                    strat_base.check_step_condition(step, c.add_start,
+                                                    c.add_end,
+                                                    c.add_frequency):
                 self.key, k = jax.random.split(self.key)
                 self.model, self.opt_state, n_added = \
                     mcmc_strategy.add_gaussians(
@@ -941,12 +1041,14 @@ class Trainer:
         with_ema = (self.decoder is not None
                     and self.decoder.ema_shadow is not None
                     and self.global_step + 1 >= self.decoder.ema_start_step)
+        end_events = self._group_end_events(self.global_step + k)
         cache_key = ("group", k, with_buf, with_perturb, with_ema,
+                     end_events,
                      c0.resolution, c0.model_type, c0.shutter_type,
                      sh_degree, self.model.capacity, self._max_pairs)
         if cache_key not in self._train_step_cache:
             self._train_step_cache[cache_key] = self._build_train_group(
-                sh_degree, k, with_buf, with_perturb, with_ema)
+                sh_degree, k, with_buf, with_perturb, with_ema, end_events)
         group_fn = self._train_step_cache[cache_key]
 
         cams_stacked = jax.tree_util.tree_map(
@@ -968,6 +1070,7 @@ class Trainer:
                      for name, v in lrs_stack.items()}
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, k)
+        self.key, event_key = jax.random.split(self.key)
         fidxs = jnp.asarray(frame_idxs, jnp.int32)
 
         if self.conf.strategy == "gs":
@@ -976,17 +1079,25 @@ class Trainer:
             ga = gd = jnp.zeros((1,), jnp.float32)
         ema = (self.decoder.ema_shadow if with_ema
                else jnp.zeros((1,), jnp.float32))
-        new_p, new_o, ga, gd, ema, mstack = group_fn(
+        new_p, new_o, ga, gd, ema, n_active, ev_stats, mstack = group_fn(
             self._params_dict(), self.opt_state, ga, gd, ema,
-            self.model.n_active, lrs_stack, gts, keys, cams_stacked, fidxs)
+            self.model.n_active, lrs_stack, gts, keys, cams_stacked, fidxs,
+            event_key)
         self._set_params_dict(new_p)
         self.opt_state = new_o
-        if self.conf.strategy == "gs" and with_buf:
+        if self.conf.strategy == "gs" and (with_buf or end_events):
             self.gs_buffers = gs_strategy.GSBuffers(ga, gd)
         if with_ema:
             self.decoder.ema_shadow = ema
         self._last_cam = cams[-1]
         self.global_step += k
+        if end_events:
+            self.model = self.model.replace(n_active=n_active)
+            if self.conf.print_stats and ev_stats:
+                kind = "+".join(end_events)
+                self._pending_event_stats.append(
+                    (self.global_step, kind,
+                     dict(ev_stats, n=n_active)))
 
         # materializing mstack forces a full pipeline sync per dispatch,
         # killing host/device overlap - only do it when something host-
@@ -1018,7 +1129,8 @@ class Trainer:
             metrics["pairs"] = jnp.max(mstack["pairs"])
             metrics["overflow"] = jnp.max(mstack["overflow"])
 
-        self._post_optimizer_step(skip_perturb=with_perturb)
+        self._post_optimizer_step(skip_perturb=with_perturb,
+                                  skip_events=end_events)
         self._progressive_features()
         self._calibrate_pairs(metrics, last_k=k)
         return metrics
