@@ -937,8 +937,12 @@ class Trainer:
 
     # --- fused multi-step dispatch ---------------------------------------
 
-    #: max train steps fused into one device dispatch between host events
-    GROUP_MAX = 16
+    #: max train steps fused into one device dispatch between host events.
+    #: With strategy events fused into the group program (end_events),
+    #: boundaries land on multiples of the event/log cadence (100 in the
+    #: GS/MCMC protocols): 25 tiles a 100-step window into four equal
+    #: groups of ONE compiled shape (16 needed k=16 AND k=4 programs).
+    GROUP_MAX = 25
 
     def _is_host_event(self, step: int) -> bool:
         """True when host-side work runs AT ``step`` (strategy hooks,
