@@ -40,7 +40,7 @@ def main():
                       sort_window=int(os.environ.get("GRT_SORT_WINDOW",
                                                      "16")),
                       records_bf16=bool(int(os.environ.get(
-                          "GRT_RECORDS_BF16", "1"))),
+                          "GRT_RECORDS_BF16", "0"))),
                       exact_kill=bool(int(os.environ.get(
                           "GRT_EXACT_KILL", "0"))))
     rng = np.random.default_rng(1)
