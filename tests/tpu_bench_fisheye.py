@@ -36,8 +36,10 @@ def main():
                        radial4=(0.06, -0.01, 0.002, 0.0),
                        max_angle=1.2)
     ut_cfg = UTConfig()
-    rc = RasterConfig(max_pairs=96 * 8192, records_bf16=False,
-                      exact_kill=False)
+    rc = RasterConfig(
+        max_pairs=96 * 8192,
+        records_bf16=bool(int(os.environ.get("FE_RECORDS_BF16", "0"))),
+        exact_kill=False)
     rng = np.random.default_rng(1)
     gt = jnp.asarray(rng.uniform(0, 1, (side, side, 3)).astype(np.float32))
     opt_state = init_adam_state(params_d)
