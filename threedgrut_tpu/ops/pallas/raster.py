@@ -77,8 +77,15 @@ TILE_PIX = 256  # 16 x 16
 # lane saving in fwd (26.5 -> 26.1) but bwd keeps it. Chunk-ALIGNED
 # segments were re-measured OUT at 128 too (75.5 ms step: the +30%
 # pair padding inflates expand/gather/fold far beyond the lane win).
-# Must stay a multiple of the 128-lane DMA alignment.
+# Must stay a multiple of the 128-lane DMA alignment: CHUNK=64 fails
+# Mosaic compilation outright ("Slice shape along dimension 2 must be
+# aligned to tiling (128)", round-3 on-chip attempt) — 128 is the
+# hardware floor for the chunk dimension, don't retry smaller.
 CHUNK = int(os.environ.get("THREEDGRUT_CHUNK", "128"))
+if CHUNK < 128 or CHUNK % 128:
+    raise ValueError(
+        f"THREEDGRUT_CHUNK={CHUNK}: the chunk dimension rides 128-lane "
+        "HBM DMA slices; it must be a positive multiple of 128.")
 
 # retained for backwards compatibility with callers sizing SH records
 RECORD_DIM = 16
