@@ -355,7 +355,9 @@ def to_trainer_config(conf: ConfigNode):
             features_decay_final=sched.get("features", {}).get(
                 "decay_final", 0.1),
             features_max_steps=sched.get("features", {}).get(
-                "max_steps", 30000)),
+                "max_steps", 30000),
+            tail_start_frac=sched.get("tail", {}).get("start_frac", 0.66),
+            tail_final_scale=sched.get("tail", {}).get("final_scale", 0.1)),
         gs=gs_cfg, mcmc=mcmc_cfg, ut=ut_cfg, raster=raster_cfg,
         # pin the pair budget (auto_max_pairs=false) for long runs on a
         # cold compile cache: every budget recalibration otherwise swaps

@@ -77,6 +77,16 @@ class OptimizerConfig:
     positions_max_steps: int = 30000
     features_decay_final: float = 0.1
     features_max_steps: int = 30000
+    # Tail decay on the otherwise-constant LR groups (features_albedo/
+    # specular, rotation, scale, density): cosine from tail_start_frac of
+    # positions_max_steps down to tail_final_scale at the end. The
+    # reference keeps these constant (configs/base_gs.yaml), but both
+    # round-3 30k protocols peaked ~20k and drifted -0.3 dB to 30k with
+    # constant tails (NOTES.md); annealing the remaining groups removes
+    # the late-training noise floor. Set tail_final_scale=1.0 to recover
+    # exact reference behavior.
+    tail_start_frac: float = 0.66
+    tail_final_scale: float = 0.1
 
 
 @dataclasses.dataclass
@@ -300,15 +310,26 @@ class Trainer:
     def current_lrs(self, step: Optional[int] = None) -> Dict[str, float]:
         step = self.global_step if step is None else step
         oc = self.conf.optimizer
+        # cosine tail on the constant LR groups (see OptimizerConfig
+        # tail_* rationale); 1.0 until tail_start, -> tail_final_scale
+        tail = 1.0
+        if oc.tail_final_scale < 1.0:
+            t0 = oc.tail_start_frac * oc.positions_max_steps
+            if step > t0:
+                u = min((step - t0) / max(oc.positions_max_steps - t0, 1.0),
+                        1.0)
+                tail = (oc.tail_final_scale
+                        + 0.5 * (1.0 - oc.tail_final_scale)
+                        * (1.0 + float(np.cos(np.pi * u))))
         lrs = {
             "positions": self._schedulers["positions"](step),
-            "rotation": oc.lr_rotation,
-            "scale": oc.lr_scale,
-            "density": oc.lr_density,
+            "rotation": oc.lr_rotation * tail,
+            "scale": oc.lr_scale * tail,
+            "density": oc.lr_density * tail,
         }
         if self.model.params.features_albedo is not None:
-            lrs["features_albedo"] = oc.lr_features_albedo
-            lrs["features_specular"] = oc.lr_features_specular
+            lrs["features_albedo"] = oc.lr_features_albedo * tail
+            lrs["features_specular"] = oc.lr_features_specular * tail
         if self.model.params.features is not None:
             lrs["features"] = self._schedulers["features"](step)
         if self.decoder is not None:
