@@ -37,6 +37,12 @@ class PBRMaterial:
     ior: float = 1.45
     emissive: tuple = (0.0, 0.0, 0.0)
     transmission: float = 0.0      # PBR refraction lobe weight
+    # texture maps sampled at the hit's interpolated TEXCOORD_0 uv
+    # (reference engine.py:105-112 diffuse_map/emissive_map; factors
+    # multiply the sampled texel per glTF 2.0 semantics). [H, W, 3+]
+    # float arrays in [0, 1]; None = constant factor only.
+    diffuse_map: Optional[object] = None
+    emissive_map: Optional[object] = None
 
 
 @dataclasses.dataclass
@@ -109,6 +115,27 @@ class Engine3DGRUT:
         self.meshes.append(mesh)
         self._soup = None
 
+    def add_glb(self, path: str, kind: str = "pbr"):
+        """Load a .glb asset with its glTF materials and textures
+        (reference mesh_io.py:44-112 load_materials + texture upload).
+        Returns the number of primitives added."""
+        from .mesh import load_glb_scene
+        meshes, mats = load_glb_scene(path)
+        base = len(self.materials)
+        for md in mats:
+            self.materials.append(PBRMaterial(
+                kind=kind, base_color=md["base_color"],
+                roughness=md["roughness"], metallic=md["metallic"],
+                ior=md["ior"], emissive=md["emissive"],
+                transmission=md["transmission"],
+                diffuse_map=md["diffuse_map"],
+                emissive_map=md["emissive_map"]))
+        for m in meshes:
+            m.material_id += base
+            self.meshes.append(m)
+        self._soup = None
+        return len(meshes)
+
     def _get_soup(self):
         if self._soup is None:
             # dense soup for prop-scale meshes, Morton-clustered AABB
@@ -120,7 +147,7 @@ class Engine3DGRUT:
 
     def _material_arrays(self):
         mats = self.materials
-        return dict(
+        out = dict(
             kind=jnp.asarray([{"diffuse": 0, "mirror": 1, "glass": 2,
                                "pbr": 3}[m.kind] for m in mats]),
             base_color=jnp.asarray([m.base_color for m in mats],
@@ -132,6 +159,50 @@ class Engine3DGRUT:
             transmission=jnp.asarray([m.transmission for m in mats],
                                      jnp.float32),
         )
+        for attr in ("diffuse_map", "emissive_map"):
+            if any(getattr(m, attr) is not None for m in mats):
+                out[attr] = self._texture_atlas(attr)
+        return out
+
+    def _texture_atlas(self, attr):
+        """Per-material texture maps packed as one padded [M, Hmax,
+        Wmax, 3] atlas + (h [M], w [M], has [M]) sideband. Materials
+        without a map sample as 1.0 (constant factor passes through)."""
+        import numpy as np
+        maps = [getattr(m, attr) for m in self.materials]
+        hs = [np.asarray(im).shape[0] if im is not None else 1
+              for im in maps]
+        ws = [np.asarray(im).shape[1] if im is not None else 1
+              for im in maps]
+        atlas = np.ones((len(maps), max(hs), max(ws), 3), np.float32)
+        for i, im in enumerate(maps):
+            if im is None:
+                continue
+            a = np.asarray(im, np.float32)
+            if a.ndim == 2:
+                a = a[..., None]
+            if a.shape[-1] == 1:
+                a = np.repeat(a, 3, axis=-1)
+            atlas[i, :hs[i], :ws[i]] = a[..., :3]
+        return (jnp.asarray(atlas), jnp.asarray(hs, jnp.int32),
+                jnp.asarray(ws, jnp.int32),
+                jnp.asarray([im is not None for im in maps], jnp.float32))
+
+    @staticmethod
+    def _sample_texture(tex, m, uv):
+        """Nearest-texel sample of atlas ``tex`` for per-ray material m
+        at uv (glTF REPEAT wrap, v-down convention); rays whose material
+        has no map sample 1.0."""
+        atlas, hs, ws, has = tex
+        h = hs[m].astype(jnp.float32)
+        w = ws[m].astype(jnp.float32)
+        u = uv[:, 0] - jnp.floor(uv[:, 0])
+        v = uv[:, 1] - jnp.floor(uv[:, 1])
+        x = jnp.clip((u * w).astype(jnp.int32), 0, ws[m] - 1)
+        y = jnp.clip((v * h).astype(jnp.int32), 0, hs[m] - 1)
+        texel = atlas[m, y, x]
+        return jnp.where(has[m][:, None] > 0, texel,
+                         jnp.ones_like(texel))
 
     # --- rendering ------------------------------------------------------
     def render_rays(self, ray_o: jnp.ndarray, ray_d: jnp.ndarray,
@@ -153,7 +224,7 @@ class Engine3DGRUT:
         ray_idx = jnp.arange(r, dtype=jnp.uint32)
 
         for bounce in range(cfg.max_bounces):
-            t_hit, tri, normal, mat_id = soup.closest_hit(o, d)
+            t_hit, tri, normal, mat_id, uv = soup.closest_hit(o, d)
             # volumetric gaussians along [eps, t_hit]
             gs = trace(self.model, o, d,
                        sh_degree=cfg.gaussian_sh_degree,
@@ -171,11 +242,18 @@ class Engine3DGRUT:
                 (alive & miss)[:, None], throughput * env, 0.0)
             alive = alive & ~miss
 
-            # mesh interaction
+            # mesh interaction; texture maps modulate the constant
+            # factors at the hit uv (reference engine.py:101-131)
             m = jnp.maximum(mat_id, 0)
             kind = mats["kind"][m]
             base = mats["base_color"][m]
             emissive = mats["emissive"][m]
+            if "diffuse_map" in mats:
+                base = base * self._sample_texture(mats["diffuse_map"],
+                                                   m, uv)
+            if "emissive_map" in mats:
+                emissive = emissive * self._sample_texture(
+                    mats["emissive_map"], m, uv)
             radiance = radiance + jnp.where(alive[:, None],
                                             throughput * emissive, 0.0)
 

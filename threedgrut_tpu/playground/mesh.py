@@ -22,6 +22,9 @@ class Mesh:
     vertices: np.ndarray    # [V, 3]
     faces: np.ndarray       # [F, 3] int32
     material_id: int = 0
+    # per-vertex texture coordinates (glTF TEXCOORD_0 convention, v down);
+    # None = untextured mesh (uv interpolates to 0)
+    uvs: Optional[np.ndarray] = None   # [V, 2]
 
     @property
     def num_faces(self):
@@ -97,15 +100,93 @@ def _node_matrix(node: dict) -> np.ndarray:
     return m
 
 
-def load_glb(path: str, material_id: int = 0) -> List[Mesh]:
-    """Binary glTF (.glb) loader: POSITION + indices, scene-graph transforms.
+def _gltf_image(gltf: dict, bin_chunk: bytes, idx: int,
+                base_dir: str) -> Optional[np.ndarray]:
+    """Decode gltf images[idx] -> float32 [H, W, C] in [0,1] (or None).
+
+    Embedded images (bufferView) decode through the native libjpeg/libpng
+    loader (native/dataio.cpp); external URIs resolve relative to the
+    asset. Decoder unavailability degrades to None (constant factors)."""
+    import os
+
+    try:
+        from ..data.native_loader import decode_image, decode_image_bytes
+    except Exception:
+        return None
+    img = gltf.get("images", [])[idx]
+    try:
+        if "bufferView" in img:
+            view = gltf["bufferViews"][img["bufferView"]]
+            off = view.get("byteOffset", 0)
+            raw = bin_chunk[off:off + view["byteLength"]]
+            out = decode_image_bytes(bytes(raw))
+        elif "uri" in img and not img["uri"].startswith("data:"):
+            out = decode_image(os.path.join(base_dir, img["uri"]))
+        else:
+            return None
+    except Exception:
+        return None
+    if out is None:
+        return None
+    return np.asarray(out, np.float32) / (
+        255.0 if out.dtype == np.uint8 else 1.0)
+
+
+def _gltf_material(gltf: dict, bin_chunk: bytes, idx: Optional[int],
+                   base_dir: str) -> dict:
+    """gltf materials[idx] -> plain dict mirroring the reference's
+    PBRMaterial texture semantics (threedgrut_playground/engine.py:98:
+    diffuse/emissive maps + constant factors, alpha cutoff, transmission,
+    IOR)."""
+    out = dict(base_color=(0.8, 0.8, 0.8), metallic=0.0, roughness=0.4,
+               emissive=(0.0, 0.0, 0.0), transmission=0.0, ior=1.45,
+               alpha_cutoff=0.5, diffuse_map=None, emissive_map=None)
+    if idx is None or idx >= len(gltf.get("materials", [])):
+        return out
+    m = gltf["materials"][idx]
+    pbr = m.get("pbrMetallicRoughness", {})
+    bc = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
+    out["base_color"] = tuple(bc[:3])
+    out["metallic"] = pbr.get("metallicFactor", 1.0)
+    out["roughness"] = pbr.get("roughnessFactor", 1.0)
+    out["emissive"] = tuple(m.get("emissiveFactor", [0.0, 0.0, 0.0]))
+    out["alpha_cutoff"] = m.get("alphaCutoff", 0.5)
+    ext = m.get("extensions", {})
+    if "KHR_materials_transmission" in ext:
+        out["transmission"] = ext["KHR_materials_transmission"].get(
+            "transmissionFactor", 0.0)
+    if "KHR_materials_ior" in ext:
+        out["ior"] = ext["KHR_materials_ior"].get("ior", 1.45)
+    textures = gltf.get("textures", [])
+
+    def tex_image(tinfo):
+        if tinfo is None:
+            return None
+        src = textures[tinfo["index"]].get("source")
+        return None if src is None else _gltf_image(gltf, bin_chunk, src,
+                                                    base_dir)
+
+    out["diffuse_map"] = tex_image(pbr.get("baseColorTexture"))
+    out["emissive_map"] = tex_image(m.get("emissiveTexture"))
+    return out
+
+
+def load_glb_scene(path: str):
+    """Binary glTF (.glb) loader: POSITION + TEXCOORD_0 + indices +
+    materials, scene-graph transforms.
 
     Covers the reference playground's pygltflib asset path
-    (threedgrut_playground/utils/mesh_io.py) without the dependency: parses
-    the GLB container (header + JSON/BIN chunks) and flattens the default
+    (threedgrut_playground/utils/mesh_io.py:44-112, incl. its
+    diffuse/emissive texture upload) without the dependency: parses the
+    GLB container (header + JSON/BIN chunks) and flattens the default
     scene into world-space triangle meshes, one Mesh per primitive.
+
+    Returns (meshes, materials): each mesh's ``material_id`` indexes the
+    returned materials list (plain dicts -> Engine3DGRUT.add_glb builds
+    PBRMaterials from them).
     """
     import json
+    import os
     import struct
 
     with open(path, "rb") as f:
@@ -125,8 +206,18 @@ def load_glb(path: str, material_id: int = 0) -> List[Mesh]:
     if json_chunk is None:
         raise ValueError(f"{path}: GLB missing JSON chunk")
     gltf = json.loads(json_chunk)
+    base_dir = os.path.dirname(os.path.abspath(path))
 
     meshes: List[Mesh] = []
+    materials: List[dict] = []
+    mat_local: dict = {}   # gltf material index (or None) -> local id
+
+    def local_mat(gidx):
+        if gidx not in mat_local:
+            mat_local[gidx] = len(materials)
+            materials.append(_gltf_material(gltf, bin_chunk, gidx,
+                                            base_dir))
+        return mat_local[gidx]
 
     def emit(mesh_idx: int, xform: np.ndarray):
         for prim in gltf["meshes"][mesh_idx].get("primitives", []):
@@ -144,8 +235,18 @@ def load_glb(path: str, material_id: int = 0) -> List[Mesh]:
             else:
                 faces = np.arange(len(verts),
                                   dtype=np.int32).reshape(-1, 3)
+            uvs = None
+            if "TEXCOORD_0" in attrs:
+                uvs = _gltf_accessor(gltf, bin_chunk, attrs["TEXCOORD_0"])
+                acc = gltf["accessors"][attrs["TEXCOORD_0"]]
+                if acc["componentType"] == 5121:      # normalized u8
+                    uvs = uvs.astype(np.float32) / 255.0
+                elif acc["componentType"] == 5123:    # normalized u16
+                    uvs = uvs.astype(np.float32) / 65535.0
+                uvs = uvs.astype(np.float32)
             meshes.append(Mesh(vertices=verts, faces=faces,
-                               material_id=material_id))
+                               material_id=local_mat(prim.get("material")),
+                               uvs=uvs))
 
     def walk(node_idx: int, parent: np.ndarray):
         node = gltf["nodes"][node_idx]
@@ -163,6 +264,14 @@ def load_glb(path: str, material_id: int = 0) -> List[Mesh]:
     if not meshes and "meshes" in gltf:   # no scene graph: flat meshes
         for i in range(len(gltf["meshes"])):
             emit(i, np.eye(4, dtype=np.float32))
+    return meshes, materials
+
+
+def load_glb(path: str, material_id: int = 0) -> List[Mesh]:
+    """Geometry-only GLB load (meshes tagged with ``material_id``)."""
+    meshes, _ = load_glb_scene(path)
+    for m in meshes:
+        m.material_id = material_id
     return meshes
 
 
@@ -229,26 +338,36 @@ class TriangleSoup:
     """Packed triangle arrays for vectorized intersection on device."""
 
     def __init__(self, meshes: List[Mesh]):
-        v0, v1, v2, mats = [], [], [], []
+        v0, v1, v2, mats, uv = [], [], [], [], []
         for m in meshes:
             tv = m.vertices[m.faces]  # [F, 3, 3]
             v0.append(tv[:, 0]); v1.append(tv[:, 1]); v2.append(tv[:, 2])
             mats.append(np.full(len(m.faces), m.material_id, np.int32))
+            if m.uvs is not None:
+                uv.append(m.uvs[m.faces].astype(np.float32))  # [F, 3, 2]
+            else:
+                uv.append(np.zeros((len(m.faces), 3, 2), np.float32))
         if not v0:
             v0 = [np.zeros((1, 3), np.float32)]
             v1 = [np.zeros((1, 3), np.float32)]
             v2 = [np.zeros((1, 3), np.float32)]
             mats = [np.full(1, -1, np.int32)]
+            uv = [np.zeros((1, 3, 2), np.float32)]
         self.v0 = jnp.asarray(np.concatenate(v0))
         self.e1 = jnp.asarray(np.concatenate(v1)) - self.v0
         self.e2 = jnp.asarray(np.concatenate(v2)) - self.v0
         self.material_id = jnp.asarray(np.concatenate(mats))
+        uvf = np.concatenate(uv)                       # [F, 3, 2]
+        self.uv0 = jnp.asarray(uvf[:, 0])
+        self.uvd1 = jnp.asarray(uvf[:, 1] - uvf[:, 0])
+        self.uvd2 = jnp.asarray(uvf[:, 2] - uvf[:, 0])
 
     def closest_hit(self, ray_o, ray_d, t_min=1e-4, t_max=1e7):
         """Vectorized Moller-Trumbore closest hit.
 
         ray_o/ray_d: [R, 3]. Returns (t [R], tri_idx [R] (-1 miss),
-        normal [R,3] (geometric, facing the ray), material [R]).
+        normal [R,3] (geometric, facing the ray), material [R],
+        uv [R,2] barycentric-interpolated texture coordinates).
         """
         pvec = jnp.cross(ray_d[:, None, :], self.e2[None])    # [R,F,3]
         det = jnp.sum(self.e1[None] * pvec, axis=-1)
@@ -270,94 +389,12 @@ class TriangleSoup:
         # face the incoming ray
         n = jnp.where(jnp.sum(n * ray_d, axis=-1, keepdims=True) > 0, -n, n)
         mat = jnp.where(miss, -1, self.material_id[tri])
+        ub = jnp.take_along_axis(u, tri[:, None], axis=1)
+        vb = jnp.take_along_axis(v, tri[:, None], axis=1)
+        uv = self.uv0[tri] + ub * self.uvd1[tri] + vb * self.uvd2[tri]
         return (jnp.where(miss, 1e7, t_best), jnp.where(miss, -1, tri),
-                n, mat)
+                n, mat, uv)
 
-class ClusteredTriangles:
-    """Large-mesh accelerator: Morton-ordered triangle clusters + per-ray-
-    block AABB culling (the TPU equivalent of the reference's OptiX mesh
-    GAS, hybridTracer.cpp).
-
-    Triangles are sorted by the Morton code of their centroid and grouped
-    into fixed-size clusters with AABBs. Rays are processed in blocks of
-    256: each block slab-tests every cluster AABB (vectorized [256, M]),
-    ranks clusters by nearest entry distance, and runs Moller-Trumbore
-    only against the top ``max_clusters`` clusters (fixed shapes; XLA
-    maps both phases onto the VPU/MXU). ``max_clusters`` bounds work AND
-    correctness: blocks intersecting more clusters than the budget may
-    miss hits behind the nearest ones - raise it for pathological scenes
-    (the default covers the playground's prop+scene meshes).
-    """
-
-    CLUSTER = 64
-    BLOCK = 256
-
-    def __init__(self, meshes: List[Mesh], max_clusters: int = 64):
-        soup = TriangleSoup(meshes)
-        v0 = np.asarray(soup.v0)
-        e1 = np.asarray(soup.e1)
-        e2 = np.asarray(soup.e2)
-        mat = np.asarray(soup.material_id)
-        f = len(v0)
-        # Morton order of centroids
-        cent = v0 + (e1 + e2) / 3.0
-        lo, hi = cent.min(0), cent.max(0)
-        q = np.clip((cent - lo) / np.maximum(hi - lo, 1e-9) * 1023, 0,
-                    1023).astype(np.uint32)
-        code = np.zeros(f, np.uint64)
-        for b in range(10):
-            for a in range(3):
-                code |= ((q[:, a].astype(np.uint64) >> b) & 1) << (3 * b + a)
-        order = np.argsort(code, kind="stable").astype(np.int32)
-        v0, e1, e2, mat = v0[order], e1[order], e2[order], mat[order]
-        pad = (-f) % self.CLUSTER
-        if pad:
-            v0 = np.concatenate([v0, np.tile(v0[:1], (pad, 1))])
-            e1 = np.concatenate([e1, np.tile(e1[:1], (pad, 1))])
-            e2 = np.concatenate([e2, np.tile(e2[:1], (pad, 1))])
-            mat = np.concatenate([mat, np.full(pad, -1, np.int32)])
-            order = np.concatenate([order, np.zeros(pad, np.int32)])
-        self.tri_src = jnp.asarray(order)   # cluster row -> soup tri index
-        self.v0 = jnp.asarray(v0)
-        self.e1 = jnp.asarray(e1)
-        self.e2 = jnp.asarray(e2)
-        self.material_id = jnp.asarray(mat)
-        m = len(v0) // self.CLUSTER
-        tv = np.stack([v0, v0 + e1, v0 + e2], axis=1).reshape(
-            m, self.CLUSTER * 3, 3)
-        self.cluster_lo = jnp.asarray(tv.min(axis=1))
-        self.cluster_hi = jnp.asarray(tv.max(axis=1))
-        self.num_clusters = m
-        self.max_clusters = min(max_clusters, m)
-
-    def closest_hit(self, ray_o, ray_d, t_min=1e-4, t_max=1e7):
-        """Vectorized Moller-Trumbore closest hit.
-
-        ray_o/ray_d: [R, 3]. Returns (t [R], tri_idx [R] (-1 miss),
-        normal [R,3] (geometric, facing the ray), material [R]).
-        """
-        pvec = jnp.cross(ray_d[:, None, :], self.e2[None])    # [R,F,3]
-        det = jnp.sum(self.e1[None] * pvec, axis=-1)
-        inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
-        tvec = ray_o[:, None, :] - self.v0[None]
-        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, self.e1[None])
-        v = jnp.sum(ray_d[:, None, :] * qvec, axis=-1) * inv_det
-        t = jnp.sum(self.e2[None] * qvec, axis=-1) * inv_det
-        hit = ((jnp.abs(det) > 1e-9) & (u >= 0) & (v >= 0) & (u + v <= 1)
-               & (t > t_min) & (t < t_max) & (self.material_id[None] >= 0))
-        t = jnp.where(hit, t, jnp.inf)
-        tri = jnp.argmin(t, axis=1)
-        t_best = jnp.take_along_axis(t, tri[:, None], axis=1)[:, 0]
-        miss = ~jnp.isfinite(t_best)
-        n = jnp.cross(self.e1[tri], self.e2[tri])
-        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
-                            1e-12)
-        # face the incoming ray
-        n = jnp.where(jnp.sum(n * ray_d, axis=-1, keepdims=True) > 0, -n, n)
-        mat = jnp.where(miss, -1, self.material_id[tri])
-        return (jnp.where(miss, 1e7, t_best), jnp.where(miss, -1, tri),
-                n, mat)
 
 class ClusteredTriangles:
     """Large-mesh accelerator: Morton-ordered triangle clusters + per-ray-
@@ -417,6 +454,10 @@ class ClusteredTriangles:
         self.e1 = jnp.asarray(e1)
         self.e2 = jnp.asarray(e2)
         self.material_id = jnp.asarray(mat_sorted)
+        ordc = order % max(f, 1) if f else order * 0
+        self.uv0 = jnp.asarray(np.asarray(soup.uv0)[ordc])
+        self.uvd1 = jnp.asarray(np.asarray(soup.uvd1)[ordc])
+        self.uvd2 = jnp.asarray(np.asarray(soup.uvd2)[ordc])
         m = len(v0) // self.CLUSTER
         tv = np.stack([v0, v0 + e1, v0 + e2], axis=1).reshape(
             m, self.CLUSTER * 3, 3)
@@ -472,15 +513,18 @@ class ClusteredTriangles:
                           -n, n)
             tri = jnp.where(miss, -1, self.tri_src[rowj])
             mat = jnp.where(miss, -1, self.material_id[rowj])
+            ub = jnp.take_along_axis(u, j[:, None], axis=1)
+            vb = jnp.take_along_axis(v, j[:, None], axis=1)
+            uv = self.uv0[rowj] + ub * self.uvd1[rowj] + vb * self.uvd2[rowj]
             return jnp.concatenate([
                 jnp.where(miss, 1e7, t_best)[:, None],
                 tri[:, None].astype(jnp.float32),
-                n, mat[:, None].astype(jnp.float32)], axis=1)
+                n, mat[:, None].astype(jnp.float32), uv], axis=1)
 
         rays = jnp.concatenate([ro, rd], axis=1).reshape(nb, self.BLOCK, 6)
-        out = jax.lax.map(per_block, rays).reshape(nb * self.BLOCK, 6)[:r]
+        out = jax.lax.map(per_block, rays).reshape(nb * self.BLOCK, 8)[:r]
         return (out[:, 0], out[:, 1].astype(jnp.int32), out[:, 2:5],
-                out[:, 5].astype(jnp.int32))
+                out[:, 5].astype(jnp.int32), out[:, 6:8])
 
 
 def make_intersector(meshes: List[Mesh], dense_threshold: int = 8192,
