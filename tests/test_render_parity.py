@@ -202,6 +202,47 @@ class TestBf16Records:
                                  + 1e-20))
             assert cos > 0.99, f"bf16 grad direction off for {name}: {cos}"
 
+class TestMxuScan:
+    """scan_mxu swaps the Hillis-Steele prefix product for a log-space
+    triangular matmul (ops/pallas/raster.py:_prefix_product_excl_mxu).
+    At Precision.HIGHEST the result is f32-accurate (probe: max|T err|
+    3e-8), so forward and gradients must match the shift chain tightly.
+    """
+
+    def test_forward_matches_vpu_scan(self):
+        cam, model = make_test_scene(n=96, seed=0, res=(64, 48))
+        rc_mxu = RasterConfig(max_pairs=1 << 14, scan_mxu=True)
+        ref = render_gut(cam, UT, RC, model, sh_degree=3, interpret=True)
+        got = render_gut(cam, UT, rc_mxu, model, sh_degree=3,
+                         interpret=True)
+        for k in ["pred_features", "pred_opacity", "pred_dist"]:
+            np.testing.assert_allclose(got[k], ref[k], atol=5e-5,
+                                       rtol=1e-4, err_msg=k)
+
+    def test_gradients_match_vpu_scan(self):
+        cam, model = make_test_scene(n=48, seed=3, res=(32, 32))
+        target = jnp.zeros((32, 32, 3))
+
+        def make_loss(rc):
+            def loss(params):
+                m = model.replace(params=params)
+                out = render_gut(cam, UT, rc, m, sh_degree=1,
+                                 interpret=True)
+                return jnp.mean((out["pred_features"] - target) ** 2)
+            return loss
+
+        rc_mxu = RasterConfig(max_pairs=1 << 14, scan_mxu=True)
+        g_mxu = jax.grad(make_loss(rc_mxu))(model.params)
+        g_ref = jax.grad(make_loss(RC))(model.params)
+        for name in ["positions", "scale", "density", "features_albedo"]:
+            a = np.asarray(getattr(g_mxu, name)).ravel()
+            b = np.asarray(getattr(g_ref, name)).ravel()
+            assert np.isfinite(a).all(), name
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
+                                 + 1e-20))
+            assert cos > 0.9999, f"mxu-scan grad off for {name}: {cos}"
+
+
 class TestAlignedSegments:
     """aligned_segments re-bases tile segments to chunk boundaries
     (ops/binning.py _align_segments); forward and gradients must match

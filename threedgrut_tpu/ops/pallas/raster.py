@@ -143,6 +143,37 @@ class RasterKernelConfig(NamedTuple):
     # stay f32 (records are upcast right after each chunk DMA), so the
     # custom-VJP boundary keeps f32 records/d_records.
     records_bf16: bool = False
+    # fuse the per-chunk small matmuls (7 forward: c/b/q; 8 backward
+    # rdots) into one wide lane-concatenated MXU call each. All share
+    # one LHS (ray_d, or ray_d^T for the pullback), so the operands
+    # concatenate along lanes and the results slice back out — trades 7
+    # (resp. 8) MXU dispatches for one + concat/slice relayouts. Round-4
+    # on-chip A/B knob (the round-1 fused attempt contracted over 16
+    # record rows, a different and slower shape).
+    fused_mxu: bool = False
+    # flat visit-grid kernels: one Pallas grid step per (tile, chunk)
+    # visit, with records/rays/outputs mapped through prefetch-scalar
+    # index maps and Mosaic's native block pipeline doing the chunk
+    # prefetching. Eliminates the strip kernels' per-visit scalar
+    # machinery (inner while_loop, manual DMA bookkeeping), which the
+    # round-4 probes measured as the dominant raster cost (~0.7 us per
+    # visit; a bare flat grid step measures ~3 ns). No all-rays-dead
+    # early exit — acceptable for camera binning (~3 visits/tile), so
+    # render_gut turns it on; trace() (long shared/accel segments whose
+    # tails die) keeps the strip kernels.
+    flat_grid: bool = False
+    # transmittance prefix product on the MXU: exp(logx @ strict-lower-
+    # triangular) replaces the 7-stage Hillis-Steele shift chain. The
+    # round-4 probe measured 1347 vs 1855 ns/visit (27% less kernel time
+    # per visit) at max|T err| 3e-8 on CPU; the on-chip matmul runs at
+    # Precision.HIGHEST so the log-space sum keeps f32 accuracy (a
+    # single-pass bf16 sum of logs in [-4.6, 0] would carry ~1e-2 abs
+    # error into T, the same class of noise as the rejected bf16
+    # records). fwd and bwd kernels always share this setting: the
+    # hand-derived pullback recomputes t_prev and the two must match.
+    # Adopted as default after the round-4 on-chip A/B: 18.70 -> 20.41
+    # it/s (+9.1%) on the headline bench, loss identical to 5 decimals.
+    scan_mxu: bool = True
 
     # --- derived layout ---
     @property
@@ -229,6 +260,12 @@ def _fast_operands(rec, ray_d):
 
     Returns (n_mat [9+pad, K], u_mat [8, K]).
     """
+    n_rows, u_rows = _fast_operand_rows(rec)
+    return _stack_rows(n_rows, 16), _stack_rows(u_rows, 8)
+
+
+def _fast_operand_rows(rec):
+    """The 9 N rows and 3 u rows of _fast_operands as [1,K] pieces."""
     ax, ay, az = _row(rec, _GRO), _row(rec, _GRO + 1), _row(rec, _GRO + 2)
     mr = [[_row(rec, _M + 3 * i + j) for j in range(3)] for i in range(3)]
     n_rows = []
@@ -238,11 +275,42 @@ def _fast_operands(rec, ray_d):
         n_rows.append(az * mr[0][j] - ax * mr[2][j])
     for j in range(3):   # N row 2 = ax*M1 - ay*M0
         n_rows.append(ax * mr[1][j] - ay * mr[0][j])
-    n_mat = _stack_rows(n_rows, 16)
+    u_rows = [ax * mr[0][j] + ay * mr[1][j] + az * mr[2][j]
+              for j in range(3)]
+    return n_rows, u_rows
 
-    u = [ax * mr[0][j] + ay * mr[1][j] + az * mr[2][j] for j in range(3)]
-    u_mat = _stack_rows(u, 8)
-    return n_mat, u_mat
+
+def _pack_triples(triples, k):
+    """Lane-concatenate groups of three [1,K] rows into one [8, 3n*K/3]
+    MXU operand: group i occupies sublanes 0..2 of lane block i."""
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, k), 0)
+    blocks = []
+    for rows in triples:
+        acc = jnp.zeros((8, k), jnp.float32)
+        for i, r in enumerate(rows):
+            acc = jnp.where(rows8 == i, jnp.broadcast_to(r, (8, k)), acc)
+        blocks.append(acc)
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _fused_hits_mm(rec, ray_d, cfg):
+    """(cx, cy, cz, bx, by, bz, q) via ONE [256,8] @ [8,7K] matmul.
+
+    All seven per-chunk contractions of the shared-origin hit model
+    share the LHS ray_d, so their [3,K] operands ride one wide
+    lane-concatenated MXU call instead of seven small dispatches
+    (cfg.fused_mxu)."""
+    k = rec.shape[1]
+    n_rows, u_rows = _fast_operand_rows(rec)
+    m_rows = [_row(rec, _M + i) for i in range(9)]
+    wide = _pack_triples(
+        [n_rows[0:3], n_rows[3:6], n_rows[6:9],
+         m_rows[0:3], m_rows[3:6], m_rows[6:9], u_rows], k)
+    d8 = jnp.concatenate(
+        [ray_d, jnp.zeros((ray_d.shape[0], 5), jnp.float32)], axis=1)
+    res = jax.lax.dot_general(d8, wide, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return [res[:, i * k:(i + 1) * k] for i in range(7)]
 
 
 def _alpha_from_response(response, density, cfg: RasterKernelConfig):
@@ -384,17 +452,20 @@ def chunk_hits_fast(rec, ray_d, cfg: RasterKernelConfig,
         # is a sum of squares of the b components (cancellation-safe —
         # see _fast_operands docstring). The acceptance test is a
         # single compare in squared-distance space.
-        n_mat, u_mat = _fast_operands(rec, ray_d)
+        if cfg.fused_mxu:
+            cx, cy, cz, bx, by, bz, q = _fused_hits_mm(rec, ray_d, cfg)
+        else:
+            n_mat, u_mat = _fast_operands(rec, ray_d)
 
-        def ddot(op, rows0):
-            return jax.lax.dot_general(ray_d, op[rows0:rows0 + 3, :],
-                                       (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
+            def ddot(op, rows0):
+                return jax.lax.dot_general(
+                    ray_d, op[rows0:rows0 + 3, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
-        cx, cy, cz = ddot(n_mat, 0), ddot(n_mat, 3), ddot(n_mat, 6)
-        bx, by, bz = mdot(_M), mdot(_M + 3), mdot(_M + 6)
+            cx, cy, cz = ddot(n_mat, 0), ddot(n_mat, 3), ddot(n_mat, 6)
+            bx, by, bz = mdot(_M), mdot(_M + 3), mdot(_M + 6)
+            q = ddot(u_mat, 0)
         m = bx * bx + by * by + bz * bz
-        q = ddot(u_mat, 0)
         inv_m = 1.0 / jnp.maximum(m, 1e-30)
         sq_dist = (cx * cx + cy * cy + cz * cz) * inv_m
         dens = _row(rec, cfg.density_row)
@@ -696,6 +767,31 @@ def _prefix_product_excl(x):
     return y
 
 
+def _prefix_product_excl_mxu(x):
+    # exclusive prefix product as exp(cumsum_excl(log x)), with the
+    # exclusive cumsum done in ONE dot against a strict-lower-triangular
+    # [K,K] mask (in (j, i) orientation: j < i contributes to lane i).
+    # x = 1 - alpha >= 0.01 for live lanes (alpha is clamped to 0.99)
+    # and exactly 1.0 for masked lanes, so log is well-conditioned; the
+    # 1e-30 floor only guards hypothetical alpha == 1 inputs.
+    k = x.shape[1]
+    logx = jnp.log(jnp.maximum(x, 1e-30))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    tri = (rows < cols).astype(jnp.float32)
+    s = jax.lax.dot_general(logx, tri, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    return jnp.exp(s)
+
+
+def _prefix_excl(x, cfg):
+    """Exclusive prefix product of ``x`` along lanes, variant per cfg."""
+    if cfg.scan_mxu:
+        return _prefix_product_excl_mxu(x)
+    return _prefix_product_excl(x)
+
+
 def _cumsum_incl(x):
     k = x.shape[1]
     y = x
@@ -706,6 +802,29 @@ def _cumsum_incl(x):
         y = y + shifted
         s *= 2
     return y
+
+
+def _cumsum_incl_mxu(x):
+    # inclusive cumsum as one dot against an inclusive lower-triangular
+    # mask (j <= i contributes to lane i); Precision.HIGHEST keeps the
+    # suffix reformulation f32-exact (same argument as the prefix
+    # product above)
+    k = x.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    tri = (rows <= cols).astype(jnp.float32)
+    return jax.lax.dot_general(x, tri, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _cumsum(x, cfg):
+    """Inclusive lane cumsum, variant per cfg (rides the scan_mxu knob:
+    both scans live in the same kernel bodies and win or lose
+    together)."""
+    if cfg.scan_mxu:
+        return _cumsum_incl_mxu(x)
+    return _cumsum_incl(x)
 
 
 def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
@@ -748,7 +867,7 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
         key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.0e38))
         _, (a_s,), masks = bitonic_sort_by_key(
             key, [alpha], window=cfg.sort_window, return_masks=True)
-        prefix = _prefix_product_excl(1.0 - a_s)
+        prefix = _prefix_excl(1.0 - a_s, cfg)
         t_prev = t_in * prefix
         if cfg.exact_kill:
             alive = t_prev >= cfg.min_transmittance
@@ -790,7 +909,7 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
     # below the threshold) freeze is recovered without a second scan:
     # since raw T only decreases, the frozen T equals raw T_prev at the
     # first dead index = the max of T_prev over dead indices.
-    prefix = _prefix_product_excl(1.0 - alpha)        # [256,K]
+    prefix = _prefix_excl(1.0 - alpha, cfg)        # [256,K]
     t_prev = t_in * prefix                            # raw T before hit j
     if cfg.exact_kill:
         alive = t_prev >= cfg.min_transmittance       # kill semantics
@@ -874,6 +993,10 @@ def _mk_chunk_fetch(records_hbm, chunk_buf, sem, res_ref, inf_ref):
             res_ref[slot] = g
             inf_ref[slot] = -1
 
+    def prefetch(base, last):
+        del last  # depth-1 scheme
+        start_fetch(base)
+
     def drain():
         for slot in range(2):
             pending = inf_ref[slot]
@@ -884,11 +1007,87 @@ def _mk_chunk_fetch(records_hbm, chunk_buf, sem, res_ref, inf_ref):
                 res_ref[slot] = pending
                 inf_ref[slot] = -1
 
-    return start_fetch, wait_ready, drain
+    return prefetch, wait_ready, drain
 
 
-def _prefetch_next_tile(t, tp, tile_start_ref, tile_count_ref, start_fetch):
-    """Start the DMA for tile t+1's first chunk (if any) while the
+# chunk-ring prefetch: slots and lookahead depth of the monotone reader
+RING = 4
+DEPTH = 2
+
+
+def _mk_chunk_fetch_mono(records_hbm, chunk_buf, sem, st_ref):
+    """Monotone-stream chunk reader with depth-2 lookahead.
+
+    Tile segments are ordered, so the stream of DISTINCT chunk ids each
+    strip chain touches is nondecreasing (the only revisit is a tile's
+    first chunk equalling the previous tile's last — already resident,
+    and jumps past skipped chunks only happen at tile boundaries / early
+    exits). Two SMEM scalars replace the 2x2 residency table: st_ref[0]
+    = highest chunk STARTED, st_ref[1] = highest chunk WAITED; chunk g
+    lives in ring slot g % RING. Keeping DEPTH=2 chunks in flight hides
+    the full HBM->VMEM latency behind two visits' compute (depth-1
+    pipelining leaves max(DMA, compute) per visit — the round-4 profile
+    showed every compute-side cut disappearing under the DMA wait).
+
+    prefetch(base, last): ensure chunks [base, min(base+DEPTH-1+..,
+    last)] are started; a gap (base > started+1) retires outstanding
+    DMAs and rebases the window. wait_ready(g): block until chunk g
+    landed. Slot-reuse safety: starts are capped at DEPTH outstanding,
+    and RING > DEPTH guarantees a slot's previous occupant was waited
+    before reuse.
+    """
+
+    def dma(g):
+        slot = jax.lax.rem(g, RING)
+        return pltpu.make_async_copy(records_hbm.at[g], chunk_buf.at[slot],
+                                     sem.at[slot])
+
+    def prefetch(base, last):
+        # gap: retire the (<= DEPTH) outstanding DMAs, rebase the window
+        @pl.when(base > st_ref[0] + 1)
+        def _():
+            for _ in range(DEPTH):
+                @pl.when(st_ref[1] < st_ref[0])
+                def _():
+                    nw = st_ref[1] + 1
+                    dma(nw).wait()
+                    st_ref[1] = nw
+
+            st_ref[0] = base - 1
+            st_ref[1] = base - 1
+
+        hi = jnp.minimum(base + (DEPTH - 1), last)
+        for _ in range(DEPTH):
+            @pl.when((st_ref[0] < hi) & (st_ref[0] - st_ref[1] < DEPTH))
+            def _():
+                nxt = st_ref[0] + 1
+                dma(nxt).start()
+                st_ref[0] = nxt
+
+    def wait_ready(g):
+        # retire sequentially up to g: skipping an outstanding chunk's
+        # semaphore (early-exit jumps) would leave a stale signal on a
+        # reused ring slot
+        for _ in range(DEPTH):
+            @pl.when(st_ref[1] < g)
+            def _():
+                nw = st_ref[1] + 1
+                dma(nw).wait()
+                st_ref[1] = nw
+
+    def drain():
+        for _ in range(DEPTH):
+            @pl.when(st_ref[1] < st_ref[0])
+            def _():
+                nw = st_ref[1] + 1
+                dma(nw).wait()
+                st_ref[1] = nw
+
+    return prefetch, wait_ready, drain
+
+
+def _prefetch_next_tile(t, tp, tile_start_ref, tile_count_ref, prefetch):
+    """Start the DMA(s) for tile t+1's first chunks (if any) while the
     current tile's outputs are written — hides the first-chunk latency
     that a fresh tile would otherwise expose."""
     @pl.when(t + 1 < tp)
@@ -898,7 +1097,9 @@ def _prefetch_next_tile(t, tp, tile_start_ref, tile_count_ref, start_fetch):
 
         @pl.when(ncount > 0)
         def _():
-            start_fetch(nstart // CHUNK)
+            nfirst = nstart // CHUNK
+            nlast = (nstart + ncount + CHUNK - 1) // CHUNK - 1
+            prefetch(nfirst, nlast)
 
 
 # ---------------------------------------------------------------------------
@@ -916,8 +1117,15 @@ def _fwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
             res_ref[slot] = -1
             inf_ref[slot] = -1
 
-    start_fetch, wait_ready, drain = _mk_chunk_fetch(
-        records_hbm, chunk_buf, sem, res_ref, inf_ref)
+    if cfg.shared_segments:
+        # trace(): every tile rescans the same chunk range, so the
+        # stream of chunk ids is NOT monotone - keep residency tracking
+        prefetch, wait_ready, drain = _mk_chunk_fetch(
+            records_hbm, chunk_buf, sem, res_ref, inf_ref)
+    else:
+        prefetch, wait_ready, drain = _mk_chunk_fetch_mono(
+            records_hbm, chunk_buf, sem, res_ref)
+    slot_mod = 2 if cfg.shared_segments else RING
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     f = cfg.feat_dim
 
@@ -934,9 +1142,11 @@ def _fwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         tmin = rays_ref[s, :, 6:7]
         tmax = rays_ref[s, :, 7:8]
 
+        last = first + nchunks - 1
+
         @pl.when(nchunks > 0)
         def _():
-            start_fetch(first)
+            prefetch(first, last)
 
         def cond(state):
             i, t_cur = state[0], state[1]
@@ -945,63 +1155,55 @@ def _fwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
             return (i < nchunks) & (jnp.max(t_cur) >= cfg.min_transmittance)
 
         def body(state):
-            i, t_cur, feat, depth, hits, nacc = state
+            i, t_cur, acc3, nacc = state
             g = first + i
+
+            # wait g BEFORE issuing: advancing the waited watermark first
+            # opens the depth-2 window (issue g+2 while g+1 is in flight)
+            wait_ready(g)
 
             @pl.when(i + 1 < nchunks)
             def _():
-                start_fetch(g + 1)
+                prefetch(g + 1, last)
 
-            wait_ready(g)
-            rec = chunk_buf[jax.lax.rem(g, 2)]
+            rec = chunk_buf[jax.lax.rem(g, slot_mod)]
             if cfg.records_bf16:
                 rec = rec.astype(jnp.float32)
             g0 = g * CHUNK
             lane_mask = (lane + g0 >= start) & (lane + g0 < end)
-            (w, _, hit_t, _, t_out, canonical, hit_feats,
-             normals) = _chunk_composite(
-                rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask,
-                need_normals=cfg.compute_normals,
-                unsort_w=cfg.feature_mode == "constant")
-            feat = feat + _accumulate_features(rec, w, canonical, hit_feats,
-                                               cfg)
-            depth = depth + jnp.sum(w * hit_t, axis=1, keepdims=True)
-            hits = hits + jnp.sum((w > 0.0).astype(jnp.float32), axis=1,
-                                  keepdims=True)
-            if cfg.compute_normals:
-                nacc = nacc + jnp.concatenate(
-                    [jnp.sum(w * nc, axis=1, keepdims=True)
-                     for nc in normals], axis=1)
-            return i + 1, t_out, feat, depth, hits, nacc
+            t_out, acc3, nacc = _fwd_visit(
+                rec, ray_o, ray_d, tmin, tmax, t_cur, acc3, nacc,
+                lane_mask, cfg)
+            return i + 1, t_out, acc3, nacc
 
         n_cols = 3 if cfg.compute_normals else 1  # dummy col when disabled
         init = (jnp.asarray(0, jnp.int32),
                 jnp.ones((TILE_PIX, 1), jnp.float32),
-                jnp.zeros((TILE_PIX, cfg.feat_dim), jnp.float32),
-                jnp.zeros((TILE_PIX, 1), jnp.float32),
-                jnp.zeros((TILE_PIX, 1), jnp.float32),
+                jnp.zeros((TILE_PIX, cfg.feat_dim + 2), jnp.float32),
                 jnp.zeros((TILE_PIX, n_cols), jnp.float32))
-        _, t_fin, feat, depth, hits, nacc = jax.lax.while_loop(
-            cond, body, init)
+        _, t_fin, acc3, nacc = jax.lax.while_loop(cond, body, init)
+        feat = acc3[:, 0:f]
+        depth = acc3[:, f:f + 1]
+        hits = acc3[:, f + 1:f + 2]
         # no early-exit drain: an in-flight prefetch stays tracked in
         # inf_ref and is retired by the next start_fetch or the final
         # drain()
 
         _prefetch_next_tile(t, tp, tile_start_ref, tile_count_ref,
-                            start_fetch)
+                            prefetch)
 
-        out_ref[s, :, 0:f] = feat
-        out_ref[s, :, f:f + 1] = 1.0 - t_fin
-        out_ref[s, :, f + 1:f + 2] = depth
-        out_ref[s, :, f + 2:f + 3] = hits
-        out_ref[s, :, f + 3:f + 4] = t_fin
+        # one store per tile: lane-concatenate the output fields (5-7
+        # narrow stores per tile measurably contribute to the ~1.2 us
+        # per-tile floor, round-4 zero-work probe)
+        pieces = [feat, 1.0 - t_fin, depth, hits, t_fin]
         base = f + 4
         if cfg.compute_normals:
-            out_ref[s, :, base:base + 3] = nacc
+            pieces.append(nacc)
             base += 3
         pad = cfg.out_dim - base
         if pad > 0:
-            out_ref[s, :, base:] = jnp.zeros((TILE_PIX, pad), jnp.float32)
+            pieces.append(jnp.zeros((TILE_PIX, pad), jnp.float32))
+        out_ref[s] = jnp.concatenate(pieces, axis=1)
         return 0
 
     jax.lax.fori_loop(0, strip, tile_body, 0)
@@ -1011,6 +1213,321 @@ def _fwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
     def _():
         drain()
 
+
+
+def _fwd_visit(rec, ray_o, ray_d, tmin, tmax, t_cur, acc3, nacc,
+               lane_mask, cfg: RasterKernelConfig):
+    """One forward chunk visit: composite + accumulate.
+
+    acc3 holds [features(F) | depth | hits]; returns (t_out, acc3, nacc).
+    Shared by the strip kernel's inner loop and the flat visit-grid
+    kernel so both compile the identical math."""
+    f = cfg.feat_dim
+    (w, _, hit_t, _, t_out, canonical, hit_feats,
+     normals) = _chunk_composite(
+        rec, ray_o, ray_d, tmin, tmax, t_cur, cfg, lane_mask,
+        need_normals=cfg.compute_normals,
+        unsort_w=cfg.feature_mode == "constant")
+    if (cfg.feature_mode == "constant" and hit_feats is None
+            and not cfg.compute_normals):
+        # one [256,3K] @ [3K,F+2] matmul accumulates features AND the
+        # depth/hits lane reductions (two per-chunk 7-stage shift-add
+        # reductions were ~30% of the fwd chunk op count, round-4
+        # profile). RHS blocks: rows 0..K-1 = per-particle features,
+        # rows K.. = a ones column for depth, rows 2K.. = one for hits.
+        k = w.shape[1]
+        feats_kf = jnp.transpose(
+            rec[cfg.feat_offset:cfg.feat_offset + f, :])          # [K,F]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (k, f + 2), 1)
+        featsp = jnp.concatenate(
+            [feats_kf, jnp.zeros((k, 2), jnp.float32)], axis=1)
+        dcol = jnp.where(cols == f, 1.0, 0.0)
+        hcol = jnp.where(cols == f + 1, 1.0, 0.0)
+        rhs = jnp.concatenate([featsp, dcol, hcol], axis=0)
+        lhs = jnp.concatenate(
+            [w, w * hit_t, jnp.where(w > 0.0, 1.0, 0.0)], axis=1)
+        acc3 = acc3 + jax.lax.dot_general(
+            lhs, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        feat = acc3[:, 0:f] + _accumulate_features(
+            rec, w, canonical, hit_feats, cfg)
+        depth = acc3[:, f:f + 1] + jnp.sum(w * hit_t, axis=1,
+                                           keepdims=True)
+        hits = acc3[:, f + 1:f + 2] + jnp.sum(
+            (w > 0.0).astype(jnp.float32), axis=1, keepdims=True)
+        acc3 = jnp.concatenate([feat, depth, hits], axis=1)
+    if cfg.compute_normals:
+        nacc = nacc + jnp.concatenate(
+            [jnp.sum(w * nc, axis=1, keepdims=True)
+             for nc in normals], axis=1)
+    return t_out, acc3, nacc
+
+
+def _assemble_out(t_fin, acc3, nacc, cfg: RasterKernelConfig):
+    """Lane-concatenate the per-tile output fields -> [256, out_dim]."""
+    f = cfg.feat_dim
+    pieces = [acc3[:, 0:f], 1.0 - t_fin, acc3[:, f:f + 1],
+              acc3[:, f + 1:f + 2], t_fin]
+    base = f + 4
+    if cfg.compute_normals:
+        pieces.append(nacc)
+        base += 3
+    pad = cfg.out_dim - base
+    if pad > 0:
+        pieces.append(jnp.zeros((TILE_PIX, pad), jnp.float32))
+    return jnp.concatenate(pieces, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# flat visit-grid kernels: one grid step per (tile, chunk) visit
+# ---------------------------------------------------------------------------
+#
+# The strip kernels drive the chunk walk with an in-kernel while_loop and
+# hand-rolled DMA bookkeeping; their per-visit scalar machinery measured
+# ~0.7 us/visit on chip (round-4 battery) and resisted every compute-side
+# optimization. The flat kernels instead put one visit per GRID STEP:
+# records chunks, ray tiles and output tiles are routed through
+# prefetch-scalar index maps, and Mosaic's native block pipeline performs
+# the chunk prefetching (a bare flat grid step measures ~3 ns). Per-tile
+# compositing state (transmittance + accumulators) persists in a VMEM
+# scratch across the tile's consecutive visits; per-chunk gradients
+# accumulate in the revisited output block (boundary chunks are visited
+# by consecutive tiles, so the block index repeats and Mosaic keeps the
+# buffer resident).
+
+
+def _fwd_flat_kernel(vt_ref, vc_ref, vf_ref, ts_ref, tc_ref, rec_ref,
+                     rays_ref, out_ref, st_ref, *,
+                     cfg: RasterKernelConfig, st_w: int):
+    v = pl.program_id(0)
+    t = vt_ref[v]
+    g = vc_ref[v]
+    flags = vf_ref[v]
+    f = cfg.feat_dim
+    start = ts_ref[t]
+    end = start + tc_ref[t]
+
+    rec = rec_ref[0]
+    if cfg.records_bf16:
+        rec = rec.astype(jnp.float32)
+    rays = rays_ref[0]
+    ray_o = rays[:, 0:3]
+    ray_d = rays[:, 3:6]
+    tmin = rays[:, 6:7]
+    tmax = rays[:, 7:8]
+
+    @pl.when((flags & 1) == 1)  # first visit of this tile: reset state
+    def _():
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, st_w), 1)
+        st_ref[:, :] = jnp.where(cols == 0, 1.0, 0.0)   # col 0 = T
+
+    t_cur = st_ref[:, 0:1]
+    acc3 = st_ref[:, 1:1 + f + 2]
+    n_cols = 3 if cfg.compute_normals else 1
+    nacc = st_ref[:, 1 + f + 2:1 + f + 2 + n_cols]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    g0 = g * CHUNK
+    lane_mask = (lane + g0 >= start) & (lane + g0 < end)
+    t_out, acc3, nacc = _fwd_visit(rec, ray_o, ray_d, tmin, tmax, t_cur,
+                                   acc3, nacc, lane_mask, cfg)
+    pad = st_w - (1 + f + 2 + n_cols)
+    st_ref[:, :] = jnp.concatenate(
+        [t_out, acc3, nacc]
+        + ([jnp.zeros((TILE_PIX, pad), jnp.float32)] if pad else []),
+        axis=1)
+
+    @pl.when((flags & 2) == 2)  # last visit of this tile: flush outputs
+    def _():
+        out_ref[0] = _assemble_out(t_out, acc3, nacc, cfg)
+
+
+def _bwd_flat_kernel(vt_ref, vc_ref, vf_ref, ts_ref, tc_ref, rec_ref,
+                     rays_ref, fwd_ref, gout_ref, dgrad_ref, st_ref, *,
+                     cfg: RasterKernelConfig):
+    v = pl.program_id(0)
+    t = vt_ref[v]
+    g = vc_ref[v]
+    flags = vf_ref[v]
+    f = cfg.feat_dim
+    start = ts_ref[t]
+    end = start + tc_ref[t]
+
+    rec = rec_ref[0]
+    if cfg.records_bf16:
+        rec = rec.astype(jnp.float32)
+    rays = rays_ref[0]
+    ray_o = rays[:, 0:3]
+    ray_d = rays[:, 3:6]
+    tmin = rays[:, 6:7]
+    tmax = rays[:, 7:8]
+
+    fwd_out = fwd_ref[0]
+    gout = gout_ref[0]
+    feat_total = fwd_out[:, 0:f]
+    depth_total = fwd_out[:, f + 1:f + 2]
+    t_final = fwd_out[:, f + 3:f + 4]
+    g_feat = gout[:, 0:f]
+    g_t = gout[:, f + 3:f + 4] - gout[:, f:f + 1]
+    g_depth = gout[:, f + 1:f + 2]
+
+    @pl.when((flags & 1) == 1)  # first visit of tile: reset + phi_total
+    def _():
+        phi_total = (jnp.sum(g_feat * feat_total, axis=1, keepdims=True)
+                     + g_depth * depth_total)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, 8), 1)
+        st_ref[:, :] = jnp.where(
+            cols == 0, 1.0,
+            jnp.where(cols == 2, jnp.broadcast_to(phi_total,
+                                                  (TILE_PIX, 8)), 0.0))
+
+    t_cur = st_ref[:, 0:1]
+    phi_acc = st_ref[:, 1:2]
+    phi_total = st_ref[:, 2:3]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    g0 = g * CHUNK
+    lane_mask = (lane + g0 >= start) & (lane + g0 < end)
+    d_rec, t_out, psi_sum = _bwd_chunk_grads(
+        rec, ray_o, ray_d, tmin, tmax, t_cur, phi_total - phi_acc,
+        t_final, g_feat, g_t, g_depth, lane_mask, cfg)
+    st_ref[:, :] = jnp.concatenate(
+        [t_out, phi_acc + psi_sum, phi_total,
+         jnp.zeros((TILE_PIX, 5), jnp.float32)], axis=1)
+
+    # accumulate into the (revisited) chunk gradient block: boundary
+    # chunks are visited by consecutive tiles -> same block index on
+    # consecutive steps, so the buffer persists between them
+    cur = dgrad_ref[0]
+    dgrad_ref[0] = jnp.where((flags & 4) == 4, d_rec, cur + d_rec)
+
+
+def _visit_tables(tile_start, tile_count, n_chunks):
+    """Visit tables for the flat grid.
+
+    Every tile gets max(nchunks, 1) consecutive visits (empty tiles get
+    one zero-work visit so their output tile is still written); trailing
+    padding visits map to dummy tile T / dummy gradient chunk n_chunks.
+    Returns (vt, vc, vflags): tile id, chunk id, flag bits
+    (1 = first visit of tile, 2 = last visit of tile, 4 = first visit of
+    this gradient chunk).
+    """
+    t = tile_start.shape[0]
+    first = tile_start // CHUNK
+    endp = tile_start + tile_count
+    nch = jnp.where(tile_count > 0,
+                    (endp + CHUNK - 1) // CHUNK - first, 0)
+    n_v = jnp.maximum(nch, 1)
+    vstart = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(n_v).astype(jnp.int32)])
+    v_pad = ((n_chunks + t + 1 + 7) // 8) * 8
+    vi = jnp.arange(v_pad, dtype=jnp.int32)
+    t_of = jnp.clip(
+        jnp.searchsorted(vstart, vi, side="right",
+                         method="scan_unrolled").astype(jnp.int32) - 1,
+        0, t)
+    local = vi - vstart[t_of]
+    t_real = jnp.minimum(t_of, t - 1)
+    g_of = jnp.where(t_of < t, first[t_real] + local, n_chunks)
+    prev_t = jnp.concatenate([jnp.full(1, -1, jnp.int32), t_of[:-1]])
+    next_t = jnp.concatenate([t_of[1:], jnp.full(1, -2, jnp.int32)])
+    prev_g = jnp.concatenate([jnp.full(1, -1, jnp.int32), g_of[:-1]])
+    flags = ((t_of != prev_t).astype(jnp.int32)
+             + 2 * (t_of != next_t).astype(jnp.int32)
+             + 4 * (g_of != prev_g).astype(jnp.int32))
+    return t_of, g_of, flags
+
+
+def _flat_forward(records, tile_start, tile_count, rays, cfg, interpret):
+    num_tiles = rays.shape[0]
+    n_chunks = records.shape[0]
+    if cfg.records_bf16:
+        records = records.astype(jnp.bfloat16)
+    vt, vc, vflags = _visit_tables(tile_start, tile_count, n_chunks)
+    vc_rec = jnp.minimum(vc, n_chunks - 1)      # dummy visits fetch safely
+    ts_ext = jnp.concatenate([tile_start, jnp.zeros(1, jnp.int32)])
+    tc_ext = jnp.concatenate([tile_count, jnp.zeros(1, jnp.int32)])
+    n_cols = 3 if cfg.compute_normals else 1
+    st_w = ((1 + cfg.feat_dim + 2 + n_cols + 7) // 8) * 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(vt.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, cfg.record_dim, CHUNK),
+                         lambda v, vt, vc, vf, ts, tc: (vc[v], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_PIX, 8),
+                         lambda v, vt, vc, vf, ts, tc: (
+                             jnp.minimum(vt[v], num_tiles - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_PIX, cfg.out_dim),
+                               lambda v, vt, vc, vf, ts, tc: (vt[v], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TILE_PIX, st_w), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_flat_kernel, cfg=cfg, st_w=st_w),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, TILE_PIX,
+                                        cfg.out_dim), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(32 << 20)) if cfg.sorted_compositing
+        else None,
+    )(vt, vc_rec, vflags, ts_ext, tc_ext, records, rays)
+    return out[:num_tiles]
+
+
+def _flat_backward(records, tile_start, tile_count, rays, fwd_out,
+                   grad_out, cfg, interpret):
+    num_tiles = rays.shape[0]
+    n_chunks = records.shape[0]
+    if cfg.records_bf16:
+        records = records.astype(jnp.bfloat16)
+    vt, vc, vflags = _visit_tables(tile_start, tile_count, n_chunks)
+    vc_rec = jnp.minimum(vc, n_chunks - 1)
+    ts_ext = jnp.concatenate([tile_start, jnp.zeros(1, jnp.int32)])
+    tc_ext = jnp.concatenate([tile_count, jnp.zeros(1, jnp.int32)])
+
+    def tile_idx(v, vt, vc, vf, ts, tc):
+        return (jnp.minimum(vt[v], num_tiles - 1), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(vt.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, cfg.record_dim, CHUNK),
+                         lambda v, vt, vc, vf, ts, tc: (vc[v], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_PIX, 8), tile_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_PIX, cfg.out_dim), tile_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_PIX, cfg.out_dim), tile_idx,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cfg.record_dim, CHUNK),
+                               lambda v, vt, vc, vf, ts, tc: (vc[v], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TILE_PIX, 8), jnp.float32)],
+    )
+    grads = pl.pallas_call(
+        functools.partial(_bwd_flat_kernel, cfg=cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_chunks + 1, cfg.record_dim,
+                                        CHUNK), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(64 << 20) if (
+                cfg.sorted_compositing
+                and not (cfg.shared_origin
+                         and cfg.feature_mode == "constant"))
+            else (32 << 20)),
+    )(vt, vc, vflags, ts_ext, tc_ext, records, rays, fwd_out, grad_out)
+    return grads[:n_chunks]
 
 
 def _suffix_cotangents(w, hit_t, t_prev, alpha_eff, hit_feats, phi_rem,
@@ -1040,7 +1557,7 @@ def _suffix_cotangents(w, hit_t, t_prev, alpha_eff, hit_feats, phi_rem,
         phi = phi + g_feat[:, c:c + 1] * hit_feats[c]
     u = phi + g_depth * hit_t
     psi = w * u
-    csum = _cumsum_incl(psi)
+    csum = _cumsum(psi, cfg)
     psi_sum = csum[:, -1:]
     suffix = phi_rem - csum                       # S_excl[j], exact in f32
     active = w > 0.0
@@ -1061,19 +1578,22 @@ def _rows16_put(acc, rows_iota, r0, piece_1k):
 def _fast_fwd_vals(rec, ray_d, cfg: RasterKernelConfig):
     """chunk_hits_fast MXU path inlined to expose intermediates for the
     hand-derived backward passes."""
-    n_mat, u_mat = _fast_operands(rec, ray_d)
+    if cfg.fused_mxu:
+        cx, cy, cz, bx, by, bz, q = _fused_hits_mm(rec, ray_d, cfg)
+    else:
+        n_mat, u_mat = _fast_operands(rec, ray_d)
 
-    def ddot(op, rows0):
-        return jax.lax.dot_general(ray_d, op[rows0:rows0 + 3, :],
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        def ddot(op, rows0):
+            return jax.lax.dot_general(ray_d, op[rows0:rows0 + 3, :],
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
 
-    cx, cy, cz = ddot(n_mat, 0), ddot(n_mat, 3), ddot(n_mat, 6)
-    # b = M d componentwise; m = |b|^2 as a sum of squares (NEVER the
-    # p6 monomial expansion — see _fast_operands)
-    bx, by, bz = ddot(rec, _M), ddot(rec, _M + 3), ddot(rec, _M + 6)
+        cx, cy, cz = ddot(n_mat, 0), ddot(n_mat, 3), ddot(n_mat, 6)
+        # b = M d componentwise; m = |b|^2 as a sum of squares (NEVER
+        # the p6 monomial expansion — see _fast_operands)
+        bx, by, bz = ddot(rec, _M), ddot(rec, _M + 3), ddot(rec, _M + 6)
+        q = ddot(u_mat, 0)
     m = bx * bx + by * by + bz * bz
-    q = ddot(u_mat, 0)
     inv_m = 1.0 / jnp.maximum(m, 1e-30)
     c2 = cx * cx + cy * cy + cz * cz
     sq = c2 * inv_m
@@ -1116,11 +1636,25 @@ def _fast_pullback(rec, ray_d, b3, cx, cy, cz, q, inv_m, c2, sq, resp,
         return jax.lax.dot_general(ray_d, dc, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    d_n0, d_n1, d_n2 = rdot(d_cx), rdot(d_cy), rdot(d_cz)        # [3,K]
     bx, by, bz = b3
-    d_b = [rdot(2.0 * bx * d_m), rdot(2.0 * by * d_m),
-           rdot(2.0 * bz * d_m)]                                 # 3x [3,K]
-    d_u = rdot(d_q)                                              # [3,K]
+    if cfg.fused_mxu:
+        # all seven pixel-dim contractions share LHS ray_d: one
+        # [256,7K] RHS lane-concat, one matmul, lane slices back out
+        kk = d_cx.shape[1]
+        wide = jnp.concatenate(
+            [d_cx, d_cy, d_cz, 2.0 * bx * d_m, 2.0 * by * d_m,
+             2.0 * bz * d_m, d_q], axis=1)
+        res = rdot(wide)                                         # [3,7K]
+        d_n0, d_n1, d_n2 = (res[:, 0:kk], res[:, kk:2 * kk],
+                            res[:, 2 * kk:3 * kk])
+        d_b = [res[:, 3 * kk:4 * kk], res[:, 4 * kk:5 * kk],
+               res[:, 5 * kk:6 * kk]]
+        d_u = res[:, 6 * kk:7 * kk]
+    else:
+        d_n0, d_n1, d_n2 = rdot(d_cx), rdot(d_cy), rdot(d_cz)   # [3,K]
+        d_b = [rdot(2.0 * bx * d_m), rdot(2.0 * by * d_m),
+               rdot(2.0 * bz * d_m)]                            # 3x [3,K]
+        d_u = rdot(d_q)                                         # [3,K]
     d_feats = jax.lax.dot_general(
         g_feat, w, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                      # [F,K]
@@ -1200,7 +1734,7 @@ def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
         accept = sq < _sq_accept_threshold(dens, cfg)
     ok = accept & (hit_t > tmin) & (hit_t < tmax) & lane_mask
     alpha = jnp.where(ok, alpha, 0.0)
-    prefix = _prefix_product_excl(1.0 - alpha)
+    prefix = _prefix_excl(1.0 - alpha, cfg)
     t_prev = t_in * prefix
     if cfg.exact_kill:
         alive = t_prev >= cfg.min_transmittance
@@ -1221,7 +1755,7 @@ def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
                               preferred_element_type=jnp.float32)
     u = phi + g_depth * hit_t
     psi = w * u
-    csum = _cumsum_incl(psi)
+    csum = _cumsum(psi, cfg)
     psi_sum = csum[:, -1:]
     suffix = phi_rem - csum
     active = w > 0.0
@@ -1274,7 +1808,7 @@ def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
         key, [alpha, u_u], window=cfg.sort_window, return_masks=True)
 
     # composite + suffix cotangents in sorted order (mirrors the fwd)
-    prefix = _prefix_product_excl(1.0 - a_s)
+    prefix = _prefix_excl(1.0 - a_s, cfg)
     t_prev = t_in * prefix
     if cfg.exact_kill:
         alive = t_prev >= cfg.min_transmittance
@@ -1290,7 +1824,7 @@ def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
         t_out = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
 
     psi = w_s * u_s
-    csum = _cumsum_incl(psi)
+    csum = _cumsum(psi, cfg)
     psi_sum = csum[:, -1:]
     suffix = phi_rem - csum
     active = w_s > 0.0
@@ -1406,8 +1940,13 @@ def _bwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
             pend_ref[slot] = -1
             wfl_ref[slot] = -1
 
-    start_fetch, wait_ready, drain = _mk_chunk_fetch(
-        records_hbm, chunk_buf, sem, res_ref, inf_ref)
+    if cfg.shared_segments:
+        prefetch, wait_ready, drain = _mk_chunk_fetch(
+            records_hbm, chunk_buf, sem, res_ref, inf_ref)
+    else:
+        prefetch, wait_ready, drain = _mk_chunk_fetch_mono(
+            records_hbm, chunk_buf, sem, res_ref)
+    slot_mod = 2 if cfg.shared_segments else RING
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     f = cfg.feat_dim
 
@@ -1494,9 +2033,11 @@ def _bwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         phi_total = (jnp.sum(g_feat * feat_total, axis=1, keepdims=True)
                      + g_depth * depth_total)
 
+        last = first + nchunks - 1
+
         @pl.when(nchunks > 0)
         def _():
-            start_fetch(first)
+            prefetch(first, last)
 
         def cond(state):
             i, t_cur, _ = state
@@ -1527,14 +2068,15 @@ def _bwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
             i, t_cur, phi_acc = state
             g = first + i
 
+            wait_ready(g)
+
             @pl.when(i + 1 < nchunks)
             def _():
-                start_fetch(g + 1)
+                prefetch(g + 1, last)
 
-            wait_ready(g)
             accum_same = claim_slot(g)
 
-            rec = chunk_buf[jax.lax.rem(g, 2)]
+            rec = chunk_buf[jax.lax.rem(g, slot_mod)]
             if cfg.records_bf16:
                 rec = rec.astype(jnp.float32)
             g0 = g * CHUNK
@@ -1572,7 +2114,7 @@ def _bwd_strip_kernel(tile_start_ref, tile_count_ref, records_hbm, rays_ref,
         jax.lax.fori_loop(zstart, nchunks, zbody, 0)
 
         _prefetch_next_tile(t, tp, tile_start_ref, tile_count_ref,
-                            start_fetch)
+                            prefetch)
         return 0
 
     jax.lax.fori_loop(0, strip, tile_body, 0)
@@ -1761,6 +2303,9 @@ def _pad_tiles(tile_start, tile_count, rays, tpb):
 
 
 def _pallas_forward(records, tile_start, tile_count, rays, cfg, interpret):
+    if cfg.flat_grid and not cfg.shared_segments:
+        return _flat_forward(records, tile_start, tile_count, rays, cfg,
+                             interpret)
     num_tiles = rays.shape[0]
     strip = _strip_for(cfg)
     if cfg.records_bf16:
@@ -1779,8 +2324,8 @@ def _pallas_forward(records, tile_start, tile_count, rays, cfg, interpret):
                                lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, cfg.record_dim, CHUNK), records.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((RING, cfg.record_dim, CHUNK), records.dtype),
+            pltpu.SemaphoreType.DMA((RING,)),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
         ],
@@ -1804,6 +2349,9 @@ def _pallas_forward(records, tile_start, tile_count, rays, cfg, interpret):
 
 def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
                      grad_out, cfg, interpret):
+    if cfg.flat_grid and not cfg.shared_segments:
+        return _flat_backward(records, tile_start, tile_count, rays,
+                              fwd_out, grad_out, cfg, interpret)
     n_chunks = records.shape[0]
     num_tiles = rays.shape[0]
     strip = _strip_for(cfg)
@@ -1829,10 +2377,10 @@ def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, cfg.record_dim, CHUNK), records.dtype),
+            pltpu.VMEM((RING, cfg.record_dim, CHUNK), records.dtype),
             pltpu.VMEM((2, cfg.record_dim, CHUNK), jnp.float32),
             pltpu.VMEM((cfg.record_dim, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((RING,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SMEM((2,), jnp.int32),

@@ -55,6 +55,26 @@ class RasterConfig:
     # never re-visit boundary chunks; alignment padding consumes pair
     # budget (auto-calibration grows it via the overflow signal)
     aligned_segments: bool = struct.field(pytree_node=False, default=False)
+    # all-rays-dead early exit in the kernel chunk loops (see
+    # RasterKernelConfig.early_exit): the data-dependent while condition
+    # costs a cross-lane max + VPU->scalar sync per chunk visit, which
+    # only pays off on long segments (3DGRT); 3DGUT tiles average ~3
+    # visits
+    early_exit: bool = struct.field(pytree_node=False, default=True)
+    # fuse the per-chunk small matmuls into one wide lane-concatenated
+    # MXU call (see RasterKernelConfig.fused_mxu)
+    fused_mxu: bool = struct.field(pytree_node=False, default=False)
+    # MXU transmittance scan (see RasterKernelConfig.scan_mxu): replaces
+    # the Hillis-Steele prefix-product shift chain with one triangular
+    # matmul in log space. On-chip A/B (round 4): 18.70 -> 20.41 it/s.
+    scan_mxu: bool = struct.field(pytree_node=False, default=True)
+    # flat visit-grid raster kernels (see RasterKernelConfig.flat_grid):
+    # one Pallas grid step per chunk visit, Mosaic-pipelined. Measured
+    # on v5e (round 4): 17.2 it/s vs 18.67 for the strip kernels on the
+    # headline bench — the strip kernels' per-visit scalar machinery is
+    # cheaper than the flat grid's per-visit block re-DMA, so this stays
+    # opt-in for profiling only.
+    flat_grid: bool = struct.field(pytree_node=False, default=False)
 
 
 def camera_rays_world(cam: CameraModel):

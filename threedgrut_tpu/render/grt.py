@@ -263,7 +263,8 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         # per-block disjoint candidate segments -> classic backward.
         shared_segments=not accelerate,
         exact_kill=raster_cfg.exact_kill,
-        records_bf16=raster_cfg.records_bf16)
+        records_bf16=raster_cfg.records_bf16,
+        scan_mxu=raster_cfg.scan_mxu)
 
     quats = quat_normalize(model.params.rotation)
     # per-particle SH radiance from the mean-origin direction (matching

@@ -197,7 +197,11 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         sort_window=raster_cfg.sort_window,
         compute_normals=raster_cfg.enable_normals and not nht,
         exact_kill=raster_cfg.exact_kill,
-        records_bf16=raster_cfg.records_bf16)
+        records_bf16=raster_cfg.records_bf16,
+        early_exit=raster_cfg.early_exit,
+        fused_mxu=raster_cfg.fused_mxu,
+        flat_grid=raster_cfg.flat_grid,
+        scan_mxu=raster_cfg.scan_mxu)
 
     # pair records (differentiable gather from model params), laid out as
     # [C, record_dim, CHUNK] contiguous chunk blocks for single-DMA
