@@ -212,7 +212,10 @@ class TestMxuScan:
     def test_forward_matches_vpu_scan(self):
         cam, model = make_test_scene(n=96, seed=0, res=(64, 48))
         rc_mxu = RasterConfig(max_pairs=1 << 14, scan_mxu=True)
-        ref = render_gut(cam, UT, RC, model, sh_degree=3, interpret=True)
+        # the VPU shift chain is the reference (scan_mxu defaults True,
+        # so RC alone would compare the mxu scan against itself)
+        ref = render_gut(cam, UT, RC.replace(scan_mxu=False), model,
+                         sh_degree=3, interpret=True)
         got = render_gut(cam, UT, rc_mxu, model, sh_degree=3,
                          interpret=True)
         for k in ["pred_features", "pred_opacity", "pred_dist"]:
@@ -233,7 +236,8 @@ class TestMxuScan:
 
         rc_mxu = RasterConfig(max_pairs=1 << 14, scan_mxu=True)
         g_mxu = jax.grad(make_loss(rc_mxu))(model.params)
-        g_ref = jax.grad(make_loss(RC))(model.params)
+        g_ref = jax.grad(make_loss(RC.replace(scan_mxu=False)))(
+            model.params)
         for name in ["positions", "scale", "density", "features_albedo"]:
             a = np.asarray(getattr(g_mxu, name)).ravel()
             b = np.asarray(getattr(g_ref, name)).ravel()
@@ -241,6 +245,51 @@ class TestMxuScan:
             cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
                                  + 1e-20))
             assert cos > 0.9999, f"mxu-scan grad off for {name}: {cos}"
+
+
+class TestFusedMxu:
+    """fused_mxu packs the 7 per-chunk hit-model contractions into one
+    wide lane-concatenated dot_f32 (raster.py:_fused_hits_mm); it is the
+    forward default, so parity runs against the unfused small-dot path.
+    fused_mxu_bwd does the analogous packing for the pullback's 7
+    pixel-dim contractions (off by default)."""
+
+    def test_forward_matches_unfused(self):
+        cam, model = make_test_scene(n=96, seed=1, res=(64, 48))
+        ref = render_gut(cam, UT, RC.replace(fused_mxu=False), model,
+                         sh_degree=3, interpret=True)
+        got = render_gut(cam, UT, RC.replace(fused_mxu=True), model,
+                         sh_degree=3, interpret=True)
+        for k in ["pred_features", "pred_opacity", "pred_dist",
+                  "hits_count"]:
+            np.testing.assert_allclose(got[k], ref[k], atol=5e-5,
+                                       rtol=1e-4, err_msg=k)
+
+    def test_gradients_match_unfused(self):
+        cam, model = make_test_scene(n=48, seed=5, res=(32, 32))
+        target = jnp.zeros((32, 32, 3))
+
+        def make_loss(rc):
+            def loss(params):
+                m = model.replace(params=params)
+                out = render_gut(cam, UT, rc, m, sh_degree=1,
+                                 interpret=True)
+                return jnp.mean((out["pred_features"] - target) ** 2)
+            return loss
+
+        g_ref = jax.grad(make_loss(RC.replace(
+            fused_mxu=False)))(model.params)
+        for rc in [RC.replace(fused_mxu=True),
+                   RC.replace(fused_mxu=True, fused_mxu_bwd=True)]:
+            g = jax.grad(make_loss(rc))(model.params)
+            for name in ["positions", "scale", "density",
+                         "features_albedo"]:
+                a = np.asarray(getattr(g, name)).ravel()
+                b = np.asarray(getattr(g_ref, name)).ravel()
+                assert np.isfinite(a).all(), name
+                cos = float(a @ b / (np.linalg.norm(a)
+                                     * np.linalg.norm(b) + 1e-20))
+                assert cos > 0.9999, f"fused grad off for {name}: {cos}"
 
 
 class TestAlignedSegments:
@@ -255,8 +304,10 @@ class TestAlignedSegments:
                          model, sh_degree=3, interpret=True)
         for k in ["pred_features", "pred_opacity", "pred_dist",
                   "hits_count"]:
-            np.testing.assert_allclose(ali[k], raw[k], atol=1e-6,
-                                       rtol=1e-6, err_msg=k)
+            # 1e-5: the two layouts chunk the accumulation differently,
+            # so dot_f32's dropped lo*lo terms differ per chunking
+            np.testing.assert_allclose(ali[k], raw[k], atol=1e-5,
+                                       rtol=1e-5, err_msg=k)
         assert int(ali["pairs_overflow"]) == 0
 
     def test_gradients_match_raw(self):

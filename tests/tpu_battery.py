@@ -231,11 +231,22 @@ def mode_fold(ctx):
     st, en = jnp.asarray(slot), jnp.asarray(nxt)
     rp = jnp.asarray(rank_particle)
 
+    from threedgrut_tpu.ops.pallas.fold import fold_sorted_intervals_wide
+
     t("argsort 700k i32", lambda x: jnp.argsort(x), pm)
     inv = jnp.argsort(pm)
     t("row gather 700k x16", lambda d: d[inv], dr)
+    t("row gather 700k x16 bf16", lambda d: d.astype(jnp.bfloat16)[inv],
+      dr)
     t("fold kernel 700k->100k", lambda d: fold_sorted_intervals(
         d, rk, st, en), dr)
+    a_wide = t("fold wide 700k->100k", lambda d: fold_sorted_intervals_wide(
+        d, rk, st, en), dr)
+    t("fold wide bf16", lambda d: fold_sorted_intervals_wide(
+        d.astype(jnp.bfloat16), rk, st, en), dr)
+    a_nar = fold_sorted_intervals(dr, rk, st, en)
+    print(f"wide vs narrow max|d|: "
+          f"{float(jnp.max(jnp.abs(a_wide - a_nar))):.3e}")
 
     def route_argsort(d):
         pre = d[jnp.argsort(pm)]
@@ -278,6 +289,9 @@ def mode_levers(ctx, variants):
         "noee": rc.replace(early_exit=False),
         "fused": rc.replace(fused_mxu=True),
         "noee+fused": rc.replace(early_exit=False, fused_mxu=True),
+        "foldwide": rc.replace(fold_wide=True),
+        "gradbf16": rc.replace(fold_wide=True, grad_bf16=True),
+        "aligned": rc.replace(aligned_segments=True),
     }
     from threedgrut_tpu.ops.pallas.raster import (RasterKernelConfig,
                                                   rasterize_tiles)

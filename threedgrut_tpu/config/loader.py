@@ -316,6 +316,14 @@ def to_trainer_config(conf: ConfigNode):
         records_bf16=render.get("records_bf16",
                                 render.get("particle_feature_half", False)),
         aligned_segments=render.get("aligned_segments", False),
+        # kernel-variant knobs (default = adopted on-chip winners); kept
+        # YAML-exposed so protocol runs can A/B them without code edits
+        scan_mxu=render.get("scan_mxu", True),
+        early_exit=render.get("early_exit", True),
+        fused_mxu=render.get("fused_mxu", True),
+        fused_mxu_bwd=render.get("fused_mxu_bwd", False),
+        fold_wide=render.get("fold_wide", True),
+        grad_bf16=render.get("grad_bf16", False),
         max_pairs=render.get("max_pairs", 1 << 20))
 
     bgc = model.get("background", {})

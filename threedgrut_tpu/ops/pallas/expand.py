@@ -71,6 +71,10 @@ def _expand_acc(src_start_ref, src_end_ref, table_hbm, buf, sem, lane, i,
         mask = ((slot <= lane) & (lane < nxt)).astype(jnp.float32)
         # [BLK,16]^T-contract [BLK,slab] -> [16, slab]; disjoint intervals
         # mean exactly one 1 per lane column, so this is an exact select
+        # HIGHEST, not dot_f32: the selected values include particle
+        # IDS as floats (up to capacity ~1M) and slot indices that the
+        # decode must recover BIT-EXACTLY; a 2-pass split select leaves
+        # a 2^-17 relative tail (test_values_exact_passthrough)
         return acc + jax.lax.dot_general(
             rows[:, :16], mask, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

@@ -1,0 +1,74 @@
+"""f32-accurate MXU contractions for Mosaic kernels.
+
+Mosaic lowers a ``jax.lax.dot_general`` on f32 operands to ONE bf16 MXU
+pass unless ``precision=HIGHEST`` is set (``HIGH`` raises
+NotImplementedError in the Mosaic lowering): both operands are rounded
+to 8 mantissa bits, ~2^-9 relative input error. That is pixel-scale
+noise in rendering math — the round-4 probe measured the full forward
+pipeline at 34.6 dB vs the f32 oracle — and HIGHEST (the MXU's fp32
+contract mode) measured a 21.5 -> 13.3 it/s collapse on the headline
+bench.
+
+This module implements the classic two-term split emulation instead:
+
+    x = hi(x) + lo(x),  hi(x) = bf16(x),  lo(x) = bf16(x - hi(x))
+
+``hi``/``lo`` round-trip bf16 exactly, so each DEFAULT-precision pass
+multiplies exact factors and the only error is the dropped tail terms:
+
+    a @ b = a_hi@b_hi + a_hi@b_lo + a_lo@b_hi  (+ a_lo@b_lo + ...)
+
+Three passes keep ~2^-17 relative error (the lo*lo term), two passes
+suffice when one side is EXACTLY representable in bf16 — 0/1 masks,
+iota-derived selectors, small integers — because its ``lo`` part is
+identically zero. 2-3 fast passes beat the fp32 contract mode's ~6
+while keeping gradient cosines vs exact f32 at >0.99999.
+
+Trace-time knob: ``THREEDGRUT_MXU_F32MODE=fp32`` routes every call to
+``precision=HIGHEST`` instead (the exact-but-slow mode), for on-chip
+quality/perf A/Bs without code edits.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+_FP32_MODE = os.environ.get("THREEDGRUT_MXU_F32MODE", "emu") == "fp32"
+
+
+def _hi_lo(x):
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (x - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, lo
+
+
+def dot_f32(a, b, dims, exact_lhs: bool = False, exact_rhs: bool = False):
+    """``dot_general(a, b, dims)`` with f32-class accuracy on the MXU.
+
+    ``exact_lhs``/``exact_rhs`` assert that the operand is exactly
+    representable in bf16 (masks, 0/1 selectors): its split is skipped
+    and the pass count drops (3 -> 2, or 1 when both are exact).
+    """
+    if _FP32_MODE:
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dims,
+                                   preferred_element_type=jnp.float32)
+
+    if exact_lhs and exact_rhs:
+        return d(a, b)
+    if exact_lhs:
+        b_hi, b_lo = _hi_lo(b)
+        return d(a, b_hi) + d(a, b_lo)
+    if exact_rhs:
+        a_hi, a_lo = _hi_lo(a)
+        return d(a_hi, b) + d(a_lo, b)
+    a_hi, a_lo = _hi_lo(a)
+    b_hi, b_lo = _hi_lo(b)
+    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))

@@ -66,6 +66,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..hit import particle_response, particle_response_dsq
+from .mxu import dot_f32
+
+# Mosaic lowers an f32 dot with NO explicit precision to one bf16 MXU
+# pass: BOTH operands are rounded to 8 mantissa bits (~2^-9 relative).
+# That is pixel-scale noise in this kernel's value math — the round-4
+# probe measured the full fwd pipeline at only 34.6 dB vs the f32
+# oracle on a 60k-particle scene (103 dB once fixed), and GT images
+# rendered through it cap training ~3 dB below the clean-kernel
+# protocol. Every value-carrying dot in this file therefore goes
+# through ops/pallas/mxu.dot_f32 (2-3 split bf16 passes, ~2^-17; the
+# fp32 contract mode measured 21.5 -> 13.3 it/s). Do not add an
+# unannotated dot_general to this file.
 
 TILE_PIX = 256  # 16 x 16
 # Candidates per streamed chunk (lane width of the compute blocks).
@@ -149,8 +161,15 @@ class RasterKernelConfig(NamedTuple):
     # concatenate along lanes and the results slice back out — trades 7
     # (resp. 8) MXU dispatches for one + concat/slice relayouts. Round-4
     # on-chip A/B knob (the round-1 fused attempt contracted over 16
-    # record rows, a different and slower shape).
+    # record rows, a different and slower shape). Adopted as the FORWARD
+    # default after the round-4 precision fix: at dot_f32's 3 split
+    # passes the 7 small dots are dispatch-bound, so fusing measured
+    # 17.13 -> 16.36 ms fwd; the fused BACKWARD regressed (+1.4 ms:
+    # the pullback's wide concat is built from 7 freshly-computed
+    # [256,K] cotangents, a relayout the fwd's record-row packing
+    # avoids) and keeps its own knob.
     fused_mxu: bool = False
+    fused_mxu_bwd: bool = False
     # flat visit-grid kernels: one Pallas grid step per (tile, chunk)
     # visit, with records/rays/outputs mapped through prefetch-scalar
     # index maps and Mosaic's native block pipeline doing the chunk
@@ -308,8 +327,7 @@ def _fused_hits_mm(rec, ray_d, cfg):
          m_rows[0:3], m_rows[3:6], m_rows[6:9], u_rows], k)
     d8 = jnp.concatenate(
         [ray_d, jnp.zeros((ray_d.shape[0], 5), jnp.float32)], axis=1)
-    res = jax.lax.dot_general(d8, wide, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    res = dot_f32(d8, wide, (((1,), (0,)), ((), ())))
     return [res[:, i * k:(i + 1) * k] for i in range(7)]
 
 
@@ -440,9 +458,8 @@ def chunk_hits_fast(rec, ray_d, cfg: RasterKernelConfig,
     ~25 VPU ops per element instead of the ~80 of the general transform.
     """
     def mdot(rows):
-        return jax.lax.dot_general(ray_d, rec[rows:rows + 3, :],
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        return dot_f32(ray_d, rec[rows:rows + 3, :],
+                       (((1,), (0,)), ((), ())))
 
     if not (need_canonical or need_normals):
         # hot path (constant features): c, b and a.b all ride the MXU
@@ -458,9 +475,8 @@ def chunk_hits_fast(rec, ray_d, cfg: RasterKernelConfig,
             n_mat, u_mat = _fast_operands(rec, ray_d)
 
             def ddot(op, rows0):
-                return jax.lax.dot_general(
-                    ray_d, op[rows0:rows0 + 3, :], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                return dot_f32(ray_d, op[rows0:rows0 + 3, :],
+                               (((1,), (0,)), ((), ())))
 
             cx, cy, cz = ddot(n_mat, 0), ddot(n_mat, 3), ddot(n_mat, 6)
             bx, by, bz = mdot(_M), mdot(_M + 3), mdot(_M + 6)
@@ -779,9 +795,7 @@ def _prefix_product_excl_mxu(x):
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     tri = (rows < cols).astype(jnp.float32)
-    s = jax.lax.dot_general(logx, tri, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+    s = dot_f32(logx, tri, (((1,), (0,)), ((), ())), exact_rhs=True)
     return jnp.exp(s)
 
 
@@ -813,9 +827,7 @@ def _cumsum_incl_mxu(x):
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     tri = (rows <= cols).astype(jnp.float32)
-    return jax.lax.dot_general(x, tri, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+    return dot_f32(x, tri, (((1,), (0,)), ((), ())), exact_rhs=True)
 
 
 def _cumsum(x, cfg):
@@ -937,8 +949,7 @@ def _accumulate_features(rec, w, canonical, hit_feats,
     if cfg.feature_mode == "constant":
         feats = jnp.transpose(
             rec[cfg.feat_offset:cfg.feat_offset + cfg.feat_dim, :])  # [K,F]
-        return jax.lax.dot_general(w, feats, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        return dot_f32(w, feats, (((1,), (0,)), ((), ())))
     return nht_feature_weighted_sum(rec, canonical, w, None, cfg)
 
 
@@ -1246,9 +1257,7 @@ def _fwd_visit(rec, ray_o, ray_d, tmin, tmax, t_cur, acc3, nacc,
         rhs = jnp.concatenate([featsp, dcol, hcol], axis=0)
         lhs = jnp.concatenate(
             [w, w * hit_t, jnp.where(w > 0.0, 1.0, 0.0)], axis=1)
-        acc3 = acc3 + jax.lax.dot_general(
-            lhs, rhs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        acc3 = acc3 + dot_f32(lhs, rhs, (((1,), (0,)), ((), ())))
     else:
         feat = acc3[:, 0:f] + _accumulate_features(
             rec, w, canonical, hit_feats, cfg)
@@ -1578,15 +1587,14 @@ def _rows16_put(acc, rows_iota, r0, piece_1k):
 def _fast_fwd_vals(rec, ray_d, cfg: RasterKernelConfig):
     """chunk_hits_fast MXU path inlined to expose intermediates for the
     hand-derived backward passes."""
-    if cfg.fused_mxu:
+    if cfg.fused_mxu_bwd:
         cx, cy, cz, bx, by, bz, q = _fused_hits_mm(rec, ray_d, cfg)
     else:
         n_mat, u_mat = _fast_operands(rec, ray_d)
 
         def ddot(op, rows0):
-            return jax.lax.dot_general(ray_d, op[rows0:rows0 + 3, :],
-                                       (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
+            return dot_f32(ray_d, op[rows0:rows0 + 3, :],
+                           (((1,), (0,)), ((), ())))
 
         cx, cy, cz = ddot(n_mat, 0), ddot(n_mat, 3), ddot(n_mat, 6)
         # b = M d componentwise; m = |b|^2 as a sum of squares (NEVER
@@ -1633,11 +1641,10 @@ def _fast_pullback(rec, ray_d, b3, cx, cy, cz, q, inv_m, c2, sq, resp,
     # narrow [256,3] tiles): d_N rows via ray_d^T @ d_c, d_M rows via
     # ray_d^T @ (2 b_i d_m) [m = sum b_i^2], d_u via ray_d^T @ d_q
     def rdot(dc):
-        return jax.lax.dot_general(ray_d, dc, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        return dot_f32(ray_d, dc, (((0,), (0,)), ((), ())))
 
     bx, by, bz = b3
-    if cfg.fused_mxu:
+    if cfg.fused_mxu_bwd:
         # all seven pixel-dim contractions share LHS ray_d: one
         # [256,7K] RHS lane-concat, one matmul, lane slices back out
         kk = d_cx.shape[1]
@@ -1655,9 +1662,7 @@ def _fast_pullback(rec, ray_d, b3, cx, cy, cz, q, inv_m, c2, sq, resp,
         d_b = [rdot(2.0 * bx * d_m), rdot(2.0 * by * d_m),
                rdot(2.0 * bz * d_m)]                            # 3x [3,K]
         d_u = rdot(d_q)                                         # [3,K]
-    d_feats = jax.lax.dot_general(
-        g_feat, w, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                      # [F,K]
+    d_feats = dot_f32(g_feat, w, (((0,), (0,)), ((), ())))                      # [F,K]
 
     # per-particle chain back to the 16-row record fields ([1,K] ops):
     #   N = [a]x M, b = M d (m = |b|^2), u = M^T a
@@ -1751,8 +1756,7 @@ def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
 
     # --- cotangents (single suffix sum; phi via one MXU contraction) ---
     feats = rec[cfg.feat_offset:cfg.feat_offset + f, :]          # [F,K]
-    phi = jax.lax.dot_general(g_feat, feats, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    phi = dot_f32(g_feat, feats, (((1,), (0,)), ((), ())))
     u = phi + g_depth * hit_t
     psi = w * u
     csum = _cumsum(psi, cfg)
@@ -1797,8 +1801,7 @@ def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     alpha = jnp.where(ok, alpha, 0.0)
 
     feats = rec[cfg.feat_offset:cfg.feat_offset + f, :]          # [F,K]
-    phi_u = jax.lax.dot_general(g_feat, feats, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    phi_u = dot_f32(g_feat, feats, (((1,), (0,)), ((), ())))
     # pre-contract the per-hit scalar u = <g_feat,f> + g_depth*hitT so it
     # rides the sort as ONE payload (phi and hit_t are only ever used
     # through u in the sorted domain)
@@ -1896,9 +1899,8 @@ def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, phi_rem,
         elif cfg.feature_mode == "constant":
             feats_kf = jnp.transpose(
                 r[cfg.feat_offset:cfg.feat_offset + f, :])
-            fsum = jax.lax.dot_general(
-                w_const, feats_kf, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            fsum = dot_f32(w_const, feats_kf,
+                           (((1,), (0,)), ((), ())))
         else:
             fsum = nht_feature_weighted_sum(r, canon, w_const, None, cfg)
         return a, ht, fsum

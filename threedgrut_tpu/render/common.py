@@ -62,12 +62,24 @@ class RasterConfig:
     # visits
     early_exit: bool = struct.field(pytree_node=False, default=True)
     # fuse the per-chunk small matmuls into one wide lane-concatenated
-    # MXU call (see RasterKernelConfig.fused_mxu)
-    fused_mxu: bool = struct.field(pytree_node=False, default=False)
+    # MXU call (see RasterKernelConfig.fused_mxu). Forward fusion is
+    # the default since the round-4 precision fix (dispatch-bound at 3
+    # split passes); the fused backward measured slower and stays off.
+    fused_mxu: bool = struct.field(pytree_node=False, default=True)
+    fused_mxu_bwd: bool = struct.field(pytree_node=False, default=False)
     # MXU transmittance scan (see RasterKernelConfig.scan_mxu): replaces
     # the Hillis-Steele prefix-product shift chain with one triangular
     # matmul in log space. On-chip A/B (round 4): 18.70 -> 20.41 it/s.
     scan_mxu: bool = struct.field(pytree_node=False, default=True)
+    # gradient-fold route variants (render/gut.py _gather_records_fold):
+    # fold_wide uses the superblock full-MXU fold kernel
+    # (ops/pallas/fold.py fold_sorted_intervals_wide); grad_bf16 rounds
+    # the per-PAIR record gradients to bfloat16 before the un-permute
+    # gather + fold (halves the dominant HBM gather; per-pair gradients
+    # are pre-accumulation SGD noise, unlike the round-3-rejected bf16
+    # forward geometry - gate on the grad-cosine test before enabling)
+    fold_wide: bool = struct.field(pytree_node=False, default=True)
+    grad_bf16: bool = struct.field(pytree_node=False, default=False)
     # flat visit-grid raster kernels (see RasterKernelConfig.flat_grid):
     # one Pallas grid step per chunk visit, Mosaic-pipelined. Measured
     # on v5e (round 4): 17.2 it/s vs 18.67 for the strip kernels on the

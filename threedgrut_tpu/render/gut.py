@@ -81,9 +81,9 @@ def unpack_tiles(out, grid, height, width, out_dim=8):
     return img[:height, :width]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _gather_records_fold(table, idx, perm, fwd_map, pair_rank, rank_slot,
-                         rank_next, rank_particle, interpret):
+                         rank_next, rank_particle, interpret, fold_mode):
     """``table[idx]`` whose backward folds pair gradients with the
     particle-order interval-matmul kernel (ops/pallas/fold.py) instead of
     XLA's scatter-add lowering: un-permute d_records to the pre-tile-sort
@@ -92,28 +92,40 @@ def _gather_records_fold(table, idx, perm, fwd_map, pair_rank, rank_slot,
 
     ``fwd_map`` (aligned-segment layouts only) rebases the un-permute
     through the raw-slot -> aligned-slot map; -1 entries (culled /
-    truncated pairs) read zero gradient."""
+    truncated pairs) read zero gradient.
+
+    ``fold_mode`` is a static (wide, bf16) pair: ``wide`` picks the
+    superblock full-MXU fold kernel; ``bf16`` rounds the per-pair
+    gradient rows to bfloat16 before the un-permute gather (the fold
+    still accumulates f32)."""
     return table[idx]
 
 
 def _grf_fwd(table, idx, perm, fwd_map, pair_rank, rank_slot, rank_next,
-             rank_particle, interpret):
+             rank_particle, interpret, fold_mode):
     res = (perm, fwd_map, pair_rank, rank_slot, rank_next, rank_particle)
     return table[idx], res
 
 
-def _grf_bwd(interpret, res, g):
-    from ..ops.pallas.fold import fold_sorted_intervals
+def _grf_bwd(interpret, fold_mode, res, g):
+    from ..ops.pallas.fold import (fold_sorted_intervals,
+                                   fold_sorted_intervals_wide)
 
+    wide, bf16 = fold_mode
     perm, fwd_map, pair_rank, rank_slot, rank_next, rank_particle = res
+    if bf16:
+        g = g.astype(jnp.bfloat16)
     inv_pm = jnp.argsort(perm)          # pre slot -> tile-sorted position
     if fwd_map is not None:
         fm = fwd_map[inv_pm]            # pre slot -> aligned position
-        pre = jnp.where(fm[:, None] >= 0, g[jnp.maximum(fm, 0)], 0.0)
+        pre = jnp.where(fm[:, None] >= 0, g[jnp.maximum(fm, 0)],
+                        jnp.zeros((), g.dtype))
     else:
         pre = g[inv_pm]
-    d_rank = fold_sorted_intervals(pre, pair_rank, rank_slot, rank_next,
-                                   interpret=interpret)
+    fold = fold_sorted_intervals_wide if (wide or bf16) \
+        else fold_sorted_intervals
+    d_rank = fold(pre, pair_rank, rank_slot, rank_next,
+                  interpret=interpret)
     inv_rank = jnp.argsort(rank_particle)   # particle -> depth rank
     d_table = d_rank[inv_rank]
     return d_table, None, None, None, None, None, None, None
@@ -200,6 +212,7 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         records_bf16=raster_cfg.records_bf16,
         early_exit=raster_cfg.early_exit,
         fused_mxu=raster_cfg.fused_mxu,
+        fused_mxu_bwd=raster_cfg.fused_mxu_bwd,
         flat_grid=raster_cfg.flat_grid,
         scan_mxu=raster_cfg.scan_mxu)
 
@@ -240,7 +253,8 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
     if raster_cfg.grad_fold:
         records = _gather_records_fold(
             table, idx, b.perm, b.fwd_map, b.pair_rank, b.rank_slot,
-            b.rank_next, b.rank_particle, interpret)
+            b.rank_next, b.rank_particle, interpret,
+            (raster_cfg.fold_wide, raster_cfg.grad_bf16))
     else:
         records = table[idx]
     n_chunks = p_total // CHUNK
