@@ -53,6 +53,68 @@ def wait_for_tpu(max_wait_s=900, probe_timeout_s=240):
         time.sleep(30)
 
 
+def oracle_parity_db(model, ut_cfg, rc):
+    """On-chip Pallas-vs-pure-JAX forward parity, in dB PSNR.
+
+    The CPU test suite executes every precision as f32 and is therefore
+    structurally blind to Mosaic MXU-lowering regressions (the round-4
+    bf16 dot_general bug rendered at 34.6 dB parity on chip while every
+    CPU oracle test stayed green). This probe renders ONE 200x200 frame
+    of the bench cloud (first 60k particles) through both paths on the
+    real device and reports -10*log10(MSE); healthy is >= 100 dB.
+
+    Returns ``(bulk_db, raw_db, flip_frac)``. The headline ``bulk_db``
+    is measured over pixels where both paths agree on the accepted-hit
+    count: a ~1e-7 response difference at the ``min_response`` /
+    ``min_alpha`` acceptance boundary adds or drops one minimum-alpha
+    (~1/255) contribution on isolated pixels — an inherent epsilon
+    floor of ANY independent reimplementation (caps raw PSNR near
+    ~87 dB on this scene, tools/parity_probe.py), orthogonal to the
+    bulk bf16-lowering noise class this probe exists to catch. A
+    lowering regression shows up in ``bulk_db`` (all pixels, small
+    error) AND blows up ``flip_frac``; both are printed.
+    """
+    from threedgrut_tpu.models.gaussians import GaussianState
+    from threedgrut_tpu.ops.cameras import make_pinhole
+    from threedgrut_tpu.render.gut import render_gut
+    from threedgrut_tpu.render.oracle import render_oracle
+
+    side, n, cap = 200, 60_000, 60_160  # cap multiple of 256
+    small = GaussianState(
+        params=jax.tree.map(lambda x: x[:cap], model.params),
+        n_active=jnp.asarray(n, jnp.int32),
+        n_active_features=model.n_active_features,
+        config=model.config)
+    # exact_kill: the oracle implements the reference's exact kill
+    # semantics; the bench's relaxed-kill residual (<2e-3/channel,
+    # quality-equivalent) would otherwise cap the probe near ~87 dB and
+    # mask genuine lowering regressions below it.
+    rc = rc.replace(exact_kill=True)
+    cam = make_pinhole(resolution=(side, side),
+                       focal=(1.1 * side, 1.1 * side),
+                       principal=(side / 2, side / 2))
+    got = render_gut(cam, ut_cfg, rc, small, sh_degree=3)
+    ref = render_oracle(cam, ut_cfg, rc, small, sh_degree=3)
+    err = np.abs(np.asarray(got["pred_features"]) -
+                 np.asarray(ref["pred_features"]))          # [H, W, 3]
+
+    def db(mse):
+        return 999.0 if mse <= 0.0 else round(-10.0 * np.log10(mse), 1)
+
+    # pixels whose worst-channel error reaches half a minimum-alpha
+    # contribution made a different discrete acceptance decision
+    # somewhere in their hit list; everything below is continuous
+    # accumulation error (PSNR over per-channel MSE). A bf16 lowering
+    # regression (~2e-3 relative on O(1) radiance) lands above the
+    # threshold on nearly every covered pixel -> flip_frac ~ 1 AND
+    # bulk collapses; measured healthy floor is ~92 dB bulk (sub-
+    # threshold acceptance leakage + the MXU log-space scan's ~2^-17
+    # rounding — tools/parity_probe.py table in NOTES.md round 5).
+    flip = err.max(axis=-1) > (0.5 / 255.0)
+    bulk = db(float(np.mean((err[~flip]) ** 2))) if (~flip).any() else 0.0
+    return bulk, db(float(np.mean(err ** 2))), round(float(flip.mean()), 5)
+
+
 def main():
     from threedgrut_tpu.models.gaussians import (GaussianModelConfig,
                                                  GaussianParams,
@@ -142,11 +204,16 @@ def main():
     dt = (time.time() - t0) / (calls * steps_per_call)
     it_s = 1.0 / dt
 
+    parity, parity_raw, flips = oracle_parity_db(model, ut_cfg, rc)
+
     print(json.dumps({
         "metric": "3dgut_train_iters_per_sec_100k_800px",
         "value": round(it_s, 2),
         "unit": "it/s",
         "vs_baseline": round(it_s / BASELINE_IT_S, 4),
+        "oracle_parity_db": parity,
+        "oracle_parity_raw_db": parity_raw,
+        "oracle_flip_frac": flips,
     }))
 
 
