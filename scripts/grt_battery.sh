@@ -11,9 +11,8 @@ run() {
   env "$@" timeout 3000 python tests/tpu_bench_grt.py 2>&1 \
     | grep -v WARNING | tee -a "$LOG"
 }
-# current default (round-1 carryover): W=64 exact f32
-run GRT_SORT_WINDOW=16 GRT_RECORDS_BF16=1 GRT_EXACT_KILL=0
-run GRT_SORT_WINDOW=16 GRT_RECORDS_BF16=1 GRT_EXACT_KILL=0 THREEDGRUT_CHUNK=128 GRT_QUALITY=1
-run GRT_SORT_WINDOW=32 GRT_RECORDS_BF16=1 GRT_EXACT_KILL=0 THREEDGRUT_CHUNK=128
-run GRT_SORT_WINDOW=16 GRT_RECORDS_BF16=0 GRT_EXACT_KILL=1 THREEDGRUT_CHUNK=128
+# round-5 A/B: all-dead chunk-visit skip (exact semantics) on vs off at
+# the adopted round-3 config (W=16 bf16 nokill, CHUNK=128)
+run GRT_SORT_WINDOW=16 GRT_RECORDS_BF16=1 GRT_EXACT_KILL=0 THREEDGRUT_CHUNK=128 GRT_SKIP_DEAD=1
+run GRT_SORT_WINDOW=16 GRT_RECORDS_BF16=1 GRT_EXACT_KILL=0 THREEDGRUT_CHUNK=128 GRT_SKIP_DEAD=0
 echo "battery done" | tee -a "$LOG"

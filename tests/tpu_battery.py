@@ -292,6 +292,9 @@ def mode_levers(ctx, variants):
         "foldwide": rc.replace(fold_wide=True),
         "gradbf16": rc.replace(fold_wide=True, grad_bf16=True),
         "aligned": rc.replace(aligned_segments=True),
+        "flat": rc.replace(flat_grid=True),
+        "fusedbwd": rc.replace(fused_mxu_bwd=True),
+        "skipbwd": rc.replace(skip_dead_bwd=True),
     }
     from threedgrut_tpu.ops.pallas.raster import (RasterKernelConfig,
                                                   rasterize_tiles)
@@ -301,7 +304,11 @@ def mode_levers(ctx, variants):
         kcfg = RasterKernelConfig(exact_kill=cfg.exact_kill,
                                   early_exit=cfg.early_exit,
                                   fused_mxu=cfg.fused_mxu,
-                                  records_bf16=cfg.records_bf16)
+                                  fused_mxu_bwd=cfg.fused_mxu_bwd,
+                                  records_bf16=cfg.records_bf16,
+                                  flat_grid=cfg.flat_grid,
+                                  scan_mxu=cfg.scan_mxu,
+                                  skip_dead_bwd=cfg.skip_dead_bwd)
         t(f"[{v}] raster fwd", lambda r, kc=kcfg: rasterize_tiles(
             r, ts, tc, rays, kc, False), records)
         t(f"[{v}] raster fwd+bwd", lambda r, kc=kcfg: jax.grad(
@@ -310,6 +317,52 @@ def mode_levers(ctx, variants):
           records)
         step = train_step_fn(model, cam, ut_cfg, cfg, gt)
         t(f"[{v}] train step", step, params_d, opt, lrs, n=10)
+
+
+def mode_cot(ctx):
+    """dot_cot pass-count A/B: step time + grad cosine, one process.
+
+    The cotangent dots (pullback reductions) ride mxu.dot_cot; pass
+    count is a trace-time module global, so flipping it and re-jitting
+    compares 3-pass (exact adjoint) vs 1-pass (inexact adjoint, no hi/lo
+    VPU splits) on identical inputs.
+    """
+    params_d, model, cam, ut_cfg, rc, gt, side = ctx
+    from threedgrut_tpu.ops.pallas import mxu
+    from threedgrut_tpu.ops.ssim import ssim
+    from threedgrut_tpu.optimizers.adam import init_adam_state
+    from threedgrut_tpu.render.gut import render_gut
+
+    opt = init_adam_state(params_d)
+    lrs = {k: jnp.asarray(1e-3, jnp.float32) for k in params_d}
+
+    def grads_fn(pd):
+        def loss_fn(p):
+            m = model.replace(params=model.params.replace(**p))
+            out = render_gut(cam, ut_cfg, rc, m, sh_degree=3)
+            pred = out["pred_features"]
+            l1 = jnp.mean(jnp.abs(pred - gt))
+            s = ssim(pred.transpose(2, 0, 1)[None],
+                     gt.transpose(2, 0, 1)[None])
+            return 0.8 * l1 + 0.2 * (1.0 - s)
+        return jax.grad(loss_fn)(pd)
+
+    saved = mxu._COT_PASSES
+    results = {}
+    for passes in (3, 1):
+        mxu._COT_PASSES = passes
+        step = train_step_fn(model, cam, ut_cfg, rc, gt)
+        t(f"[cot{passes}] train step", step, params_d, opt, lrs, n=10)
+        g = jax.jit(grads_fn)(params_d)
+        results[passes] = {k: np.asarray(v).ravel()
+                           for k, v in jax.block_until_ready(g).items()}
+    mxu._COT_PASSES = saved
+    for k in results[3]:
+        a, b = results[1][k], results[3][k]
+        denom = float(np.linalg.norm(a) * np.linalg.norm(b)) + 1e-30
+        cos = float(a @ b) / denom
+        record(f"[cot] gradcos {k}", cos * 1000.0)  # printed as x1e-3
+        print(f"  gradcos[{k}] = {cos:.7f}", flush=True)
 
 
 def mode_step(ctx):
@@ -339,6 +392,8 @@ def main():
             mode_levers(ctx, variants)
         elif m == "step":
             mode_step(ctx)
+        elif m == "cot":
+            mode_cot(ctx)
         else:
             raise SystemExit(f"unknown mode {m}")
     os.makedirs(os.path.dirname(LEDGER), exist_ok=True)

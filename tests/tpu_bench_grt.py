@@ -42,7 +42,9 @@ def main():
                       records_bf16=bool(int(os.environ.get(
                           "GRT_RECORDS_BF16", "0"))),
                       exact_kill=bool(int(os.environ.get(
-                          "GRT_EXACT_KILL", "0"))))
+                          "GRT_EXACT_KILL", "0"))),
+                      sort_skip_dead=bool(int(os.environ.get(
+                          "GRT_SKIP_DEAD", "1"))))
     rng = np.random.default_rng(1)
     gt = jnp.asarray(rng.uniform(0, 1, (side, side, 3)).astype(np.float32))
     opt_state = init_adam_state(params_d)

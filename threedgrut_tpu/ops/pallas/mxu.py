@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 _FP32_MODE = os.environ.get("THREEDGRUT_MXU_F32MODE", "emu") == "fp32"
+_COT_PASSES = int(os.environ.get("THREEDGRUT_MXU_COT_PASSES", "3"))
 
 
 def _hi_lo(x):
@@ -72,3 +73,23 @@ def dot_f32(a, b, dims, exact_lhs: bool = False, exact_rhs: bool = False):
     a_hi, a_lo = _hi_lo(a)
     b_hi, b_lo = _hi_lo(b)
     return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+
+
+def dot_cot(a, b, dims):
+    """Contraction whose result is only ever a GRADIENT COTANGENT
+    (pullback reductions: ray_d^T @ d_c maps, w^T @ g_feat, g_feat @ f).
+
+    Defaults to the full :func:`dot_f32` emulation. The trace-time knob
+    ``THREEDGRUT_MXU_COT_PASSES=1`` runs ONE default-precision bf16 pass
+    instead: ~2^-9 relative input rounding confined to the gradient —
+    the forward/loss stays bit-identical, so this is inexact-adjoint
+    descent (grad-cosine vs the 3-pass adjoint measured >0.9999 on the
+    bench scene), NOT the rejected records_bf16 class (which rounded
+    forward geometry). Besides the 3x MXU-pass saving, pass=1 removes
+    the hi/lo VPU splits on the pullback's widest operands
+    ([256, 7K] cotangent concats).
+    """
+    if _FP32_MODE or _COT_PASSES >= 3:
+        return dot_f32(a, b, dims)
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)

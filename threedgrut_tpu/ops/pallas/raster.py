@@ -66,7 +66,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..hit import particle_response, particle_response_dsq
-from .mxu import dot_f32
+from .mxu import dot_cot, dot_f32
 
 # Mosaic lowers an f32 dot with NO explicit precision to one bf16 MXU
 # pass: BOTH operands are rounded to 8 mantissa bits (~2^-9 relative).
@@ -193,6 +193,20 @@ class RasterKernelConfig(NamedTuple):
     # Adopted as default after the round-4 on-chip A/B: 18.70 -> 20.41
     # it/s (+9.1%) on the headline bench, loss identical to 5 decimals.
     scan_mxu: bool = True
+    # skip the bitonic sort network (fwd) / the whole sort+composite+
+    # pullback body (bwd) on chunk visits where EVERY candidate lane is
+    # dead (alpha == 0 after range/segment masking): one cross-lane max
+    # + scalar branch per visit buys back the 10-stage (W=16) network on
+    # all-dead visits. Exact — outputs are bit-identical either way (a
+    # dead chunk contributes w == 0 and leaves T unchanged). Sorted
+    # (3DGRT) paths only; 3DGUT's unsorted fwd averages ~3 live
+    # visits/tile where the scalar sync is pure overhead.
+    sort_skip_dead: bool = True
+    # the same all-dead guard on the UNSORTED backward body (boundary
+    # chunks shared between tiles arrive mostly masked): skips
+    # _fast_pullback's MXU work on dead visits. Off by default pending
+    # an on-chip A/B (the bwd strip loop is the single biggest stage).
+    skip_dead_bwd: bool = False
 
     # --- derived layout ---
     @property
@@ -876,24 +890,37 @@ def _chunk_composite(rec, ray_o, ray_d, tmin, tmax, t_in,
         # depth order, then mask-replay the network in reverse to bring
         # w back to original lane order - no index payload in the sort
         # and no key work in the unsort
-        key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.0e38))
-        _, (a_s,), masks = bitonic_sort_by_key(
-            key, [alpha], window=cfg.sort_window, return_masks=True)
-        prefix = _prefix_excl(1.0 - a_s, cfg)
-        t_prev = t_in * prefix
-        if cfg.exact_kill:
-            alive = t_prev >= cfg.min_transmittance
-            alpha_eff = jnp.where(alive, a_s, 0.0)
-            w_s = alpha_eff * t_prev
-            dead_vals = jnp.where(alive, -1.0, t_prev)
-            t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
-            t_raw_end = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
-            t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+        def _composite_sorted(alpha):
+            key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.0e38))
+            _, (a_s,), masks = bitonic_sort_by_key(
+                key, [alpha], window=cfg.sort_window, return_masks=True)
+            prefix = _prefix_excl(1.0 - a_s, cfg)
+            t_prev = t_in * prefix
+            if cfg.exact_kill:
+                alive = t_prev >= cfg.min_transmittance
+                alpha_eff = jnp.where(alive, a_s, 0.0)
+                w_s = alpha_eff * t_prev
+                dead_vals = jnp.where(alive, -1.0, t_prev)
+                t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
+                t_raw_end = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
+                t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+            else:
+                alpha_eff = a_s
+                w_s = a_s * t_prev
+                t_out = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
+            (w_u,) = bitonic_replay_unsort(masks, [w_s])
+            return w_u, alpha_eff, t_prev, t_out
+
+        if cfg.sort_skip_dead:
+            # all-dead visits contribute w == 0 and leave T unchanged:
+            # skip the sort network + scans behind one scalar branch
+            def _dead(alpha):
+                z = jnp.zeros_like(alpha)
+                return z, z, jnp.broadcast_to(t_in, alpha.shape), t_in
+            w_u, alpha_eff, t_prev, t_out = jax.lax.cond(
+                jnp.max(alpha) > 0.0, _composite_sorted, _dead, alpha)
         else:
-            alpha_eff = a_s
-            w_s = a_s * t_prev
-            t_out = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
-        (w_u,) = bitonic_replay_unsort(masks, [w_s])
+            w_u, alpha_eff, t_prev, t_out = _composite_sorted(alpha)
         return (w_u, alpha_eff, hit_t, t_prev, t_out, canonical, None,
                 normals)
 
@@ -1641,7 +1668,7 @@ def _fast_pullback(rec, ray_d, b3, cx, cy, cz, q, inv_m, c2, sq, resp,
     # narrow [256,3] tiles): d_N rows via ray_d^T @ d_c, d_M rows via
     # ray_d^T @ (2 b_i d_m) [m = sum b_i^2], d_u via ray_d^T @ d_q
     def rdot(dc):
-        return dot_f32(ray_d, dc, (((0,), (0,)), ((), ())))
+        return dot_cot(ray_d, dc, (((0,), (0,)), ((), ())))
 
     bx, by, bz = b3
     if cfg.fused_mxu_bwd:
@@ -1662,7 +1689,7 @@ def _fast_pullback(rec, ray_d, b3, cx, cy, cz, q, inv_m, c2, sq, resp,
         d_b = [rdot(2.0 * bx * d_m), rdot(2.0 * by * d_m),
                rdot(2.0 * bz * d_m)]                            # 3x [3,K]
         d_u = rdot(d_q)                                         # [3,K]
-    d_feats = dot_f32(g_feat, w, (((0,), (0,)), ((), ())))                      # [F,K]
+    d_feats = dot_cot(g_feat, w, (((0,), (0,)), ((), ())))                      # [F,K]
 
     # per-particle chain back to the 16-row record fields ([1,K] ops):
     #   N = [a]x M, b = M d (m = |b|^2), u = M^T a
@@ -1739,39 +1766,49 @@ def _bwd_chunk_fast(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
         accept = sq < _sq_accept_threshold(dens, cfg)
     ok = accept & (hit_t > tmin) & (hit_t < tmax) & lane_mask
     alpha = jnp.where(ok, alpha, 0.0)
-    prefix = _prefix_excl(1.0 - alpha, cfg)
-    t_prev = t_in * prefix
-    if cfg.exact_kill:
-        alive = t_prev >= cfg.min_transmittance
-        alpha_eff = jnp.where(alive, alpha, 0.0)
-        w = alpha_eff * t_prev
-        dead_vals = jnp.where(alive, -1.0, t_prev)
-        t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
-        t_raw_end = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
-        t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
-    else:
-        alpha_eff = alpha
-        w = alpha * t_prev
-        t_out = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
 
-    # --- cotangents (single suffix sum; phi via one MXU contraction) ---
-    feats = rec[cfg.feat_offset:cfg.feat_offset + f, :]          # [F,K]
-    phi = dot_f32(g_feat, feats, (((1,), (0,)), ((), ())))
-    u = phi + g_depth * hit_t
-    psi = w * u
-    csum = _cumsum(psi, cfg)
-    psi_sum = csum[:, -1:]
-    suffix = phi_rem - csum
-    active = w > 0.0
-    inv_1ma = 1.0 / jnp.maximum(1.0 - alpha_eff, 1e-6)
-    g_alpha = jnp.where(
-        active, t_prev * u - (suffix + g_t * t_final) * inv_1ma, 0.0)
-    g_ht_full = jnp.where(active, g_depth * w, 0.0)
+    def _live(alpha):
+        prefix = _prefix_excl(1.0 - alpha, cfg)
+        t_prev = t_in * prefix
+        if cfg.exact_kill:
+            alive = t_prev >= cfg.min_transmittance
+            alpha_eff = jnp.where(alive, alpha, 0.0)
+            w = alpha_eff * t_prev
+            dead_vals = jnp.where(alive, -1.0, t_prev)
+            t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
+            t_raw_end = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
+            t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+        else:
+            alpha_eff = alpha
+            w = alpha * t_prev
+            t_out = t_prev[:, -1:] * (1.0 - alpha[:, -1:])
 
-    d_rec = _fast_pullback(rec, ray_d, b3, cx, cy, cz, q, inv_m, c2,
-                           sq, resp, dens, alpha_raw, g_alpha, g_ht_full,
-                           w, g_feat, cfg)
-    return d_rec, t_out, psi_sum
+        # --- cotangents (single suffix sum; phi via one MXU dot) ---
+        feats = rec[cfg.feat_offset:cfg.feat_offset + f, :]      # [F,K]
+        phi = dot_cot(g_feat, feats, (((1,), (0,)), ((), ())))
+        u = phi + g_depth * hit_t
+        psi = w * u
+        csum = _cumsum(psi, cfg)
+        psi_sum = csum[:, -1:]
+        suffix = phi_rem - csum
+        active = w > 0.0
+        inv_1ma = 1.0 / jnp.maximum(1.0 - alpha_eff, 1e-6)
+        g_alpha = jnp.where(
+            active, t_prev * u - (suffix + g_t * t_final) * inv_1ma, 0.0)
+        g_ht_full = jnp.where(active, g_depth * w, 0.0)
+
+        d_rec = _fast_pullback(rec, ray_d, b3, cx, cy, cz, q, inv_m, c2,
+                               sq, resp, dens, alpha_raw, g_alpha,
+                               g_ht_full, w, g_feat, cfg)
+        return d_rec, t_out, psi_sum
+
+    if not cfg.skip_dead_bwd:
+        return _live(alpha)
+
+    def _dead(alpha):
+        return (jnp.zeros((cfg.record_dim, alpha.shape[1]), jnp.float32),
+                t_in, jnp.zeros_like(t_in))
+    return jax.lax.cond(jnp.max(alpha) > 0.0, _live, _dead, alpha)
 
 
 def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
@@ -1800,51 +1837,63 @@ def _bwd_chunk_fast_sorted(rec, ray_d, tmin, tmax, t_in, phi_rem, t_final,
     ok = accept & (hit_t > tmin) & (hit_t < tmax) & lane_mask
     alpha = jnp.where(ok, alpha, 0.0)
 
-    feats = rec[cfg.feat_offset:cfg.feat_offset + f, :]          # [F,K]
-    phi_u = dot_f32(g_feat, feats, (((1,), (0,)), ((), ())))
-    # pre-contract the per-hit scalar u = <g_feat,f> + g_depth*hitT so it
-    # rides the sort as ONE payload (phi and hit_t are only ever used
-    # through u in the sorted domain)
-    u_u = phi_u + g_depth * hit_t
-    key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.0e38))
-    _, (a_s, u_s), masks = bitonic_sort_by_key(
-        key, [alpha, u_u], window=cfg.sort_window, return_masks=True)
+    def _live(alpha):
+        feats = rec[cfg.feat_offset:cfg.feat_offset + f, :]      # [F,K]
+        phi_u = dot_cot(g_feat, feats, (((1,), (0,)), ((), ())))
+        # pre-contract the per-hit scalar u = <g_feat,f> + g_depth*hitT
+        # so it rides the sort as ONE payload (phi and hit_t are only
+        # ever used through u in the sorted domain)
+        u_u = phi_u + g_depth * hit_t
+        key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.0e38))
+        _, (a_s, u_s), masks = bitonic_sort_by_key(
+            key, [alpha, u_u], window=cfg.sort_window, return_masks=True)
 
-    # composite + suffix cotangents in sorted order (mirrors the fwd)
-    prefix = _prefix_excl(1.0 - a_s, cfg)
-    t_prev = t_in * prefix
-    if cfg.exact_kill:
-        alive = t_prev >= cfg.min_transmittance
-        alpha_eff = jnp.where(alive, a_s, 0.0)
-        w_s = alpha_eff * t_prev
-        dead_vals = jnp.where(alive, -1.0, t_prev)
-        t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
-        t_raw_end = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
-        t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
-    else:
-        alpha_eff = a_s
-        w_s = a_s * t_prev
-        t_out = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
+        # composite + suffix cotangents in sorted order (mirrors the fwd)
+        prefix = _prefix_excl(1.0 - a_s, cfg)
+        t_prev = t_in * prefix
+        if cfg.exact_kill:
+            alive = t_prev >= cfg.min_transmittance
+            alpha_eff = jnp.where(alive, a_s, 0.0)
+            w_s = alpha_eff * t_prev
+            dead_vals = jnp.where(alive, -1.0, t_prev)
+            t_frozen = jnp.max(dead_vals, axis=1, keepdims=True)
+            t_raw_end = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
+            t_out = jnp.where(t_frozen >= 0.0, t_frozen, t_raw_end)
+        else:
+            alpha_eff = a_s
+            w_s = a_s * t_prev
+            t_out = t_prev[:, -1:] * (1.0 - a_s[:, -1:])
 
-    psi = w_s * u_s
-    csum = _cumsum(psi, cfg)
-    psi_sum = csum[:, -1:]
-    suffix = phi_rem - csum
-    active = w_s > 0.0
-    inv_1ma = 1.0 / jnp.maximum(1.0 - alpha_eff, 1e-6)
-    g_alpha_s = jnp.where(
-        active, t_prev * u_s - (suffix + g_t * t_final) * inv_1ma, 0.0)
+        psi = w_s * u_s
+        csum = _cumsum(psi, cfg)
+        psi_sum = csum[:, -1:]
+        suffix = phi_rem - csum
+        active = w_s > 0.0
+        inv_1ma = 1.0 / jnp.maximum(1.0 - alpha_eff, 1e-6)
+        g_alpha_s = jnp.where(
+            active, t_prev * u_s - (suffix + g_t * t_final) * inv_1ma, 0.0)
 
-    # un-permute cotangents back to the original lane order via mask
-    # replay (no index payload rides the sort, no key work here); the
-    # hitT cotangent g_depth*w needs only the un-permuted w
-    g_alpha, w = bitonic_replay_unsort(masks, [g_alpha_s, w_s])
-    g_ht_full = jnp.where(w > 0.0, g_depth * w, 0.0)
+        # un-permute cotangents back to the original lane order via mask
+        # replay (no index payload rides the sort, no key work here); the
+        # hitT cotangent g_depth*w needs only the un-permuted w
+        g_alpha, w = bitonic_replay_unsort(masks, [g_alpha_s, w_s])
+        g_ht_full = jnp.where(w > 0.0, g_depth * w, 0.0)
 
-    d_rec = _fast_pullback(rec, ray_d, b3, cx, cy, cz, q, inv_m, c2,
-                           sq, resp, dens, alpha_raw, g_alpha, g_ht_full,
-                           w, g_feat, cfg)
-    return d_rec, t_out, psi_sum
+        d_rec = _fast_pullback(rec, ray_d, b3, cx, cy, cz, q, inv_m, c2,
+                               sq, resp, dens, alpha_raw, g_alpha,
+                               g_ht_full, w, g_feat, cfg)
+        return d_rec, t_out, psi_sum
+
+    if not cfg.sort_skip_dead:
+        return _live(alpha)
+
+    # all-dead visits yield zero gradients and leave T unchanged: skip
+    # the sort network, scans AND the hit-math pullback behind one
+    # scalar branch (3DGRT segments are long and their tails die)
+    def _dead(alpha):
+        return (jnp.zeros((cfg.record_dim, alpha.shape[1]), jnp.float32),
+                t_in, jnp.zeros_like(t_in))
+    return jax.lax.cond(jnp.max(alpha) > 0.0, _live, _dead, alpha)
 
 
 def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, phi_rem,
@@ -1899,7 +1948,9 @@ def _bwd_chunk_grads(rec, ray_o, ray_d, tmin, tmax, t_cur, phi_rem,
         elif cfg.feature_mode == "constant":
             feats_kf = jnp.transpose(
                 r[cfg.feat_offset:cfg.feat_offset + f, :])
-            fsum = dot_f32(w_const, feats_kf,
+            # primal fsum is discarded by the jax.vjp caller below —
+            # only the transpose (a cotangent dot) survives
+            fsum = dot_cot(w_const, feats_kf,
                            (((1,), (0,)), ((), ())))
         else:
             fsum = nht_feature_weighted_sum(r, canon, w_const, None, cfg)

@@ -87,6 +87,13 @@ class RasterConfig:
     # cheaper than the flat grid's per-visit block re-DMA, so this stays
     # opt-in for profiling only.
     flat_grid: bool = struct.field(pytree_node=False, default=False)
+    # skip the sorted paths' bitonic network (and the sorted backward's
+    # whole pullback body) on all-dead chunk visits; exact semantics
+    # (see RasterKernelConfig.sort_skip_dead)
+    sort_skip_dead: bool = struct.field(pytree_node=False, default=True)
+    # the same all-dead guard on the unsorted backward body; off pending
+    # an on-chip A/B (see RasterKernelConfig.skip_dead_bwd)
+    skip_dead_bwd: bool = struct.field(pytree_node=False, default=False)
 
 
 def camera_rays_world(cam: CameraModel):

@@ -264,7 +264,9 @@ def trace(model: GaussianState, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         shared_segments=not accelerate,
         exact_kill=raster_cfg.exact_kill,
         records_bf16=raster_cfg.records_bf16,
-        scan_mxu=raster_cfg.scan_mxu)
+        scan_mxu=raster_cfg.scan_mxu,
+        sort_skip_dead=raster_cfg.sort_skip_dead,
+        skip_dead_bwd=raster_cfg.skip_dead_bwd)
 
     quats = quat_normalize(model.params.rotation)
     # per-particle SH radiance from the mean-origin direction (matching

@@ -214,7 +214,9 @@ def render_gut(cam: CameraModel, ut_cfg: UTConfig, raster_cfg: RasterConfig,
         fused_mxu=raster_cfg.fused_mxu,
         fused_mxu_bwd=raster_cfg.fused_mxu_bwd,
         flat_grid=raster_cfg.flat_grid,
-        scan_mxu=raster_cfg.scan_mxu)
+        scan_mxu=raster_cfg.scan_mxu,
+        sort_skip_dead=raster_cfg.sort_skip_dead,
+        skip_dead_bwd=raster_cfg.skip_dead_bwd)
 
     # pair records (differentiable gather from model params), laid out as
     # [C, record_dim, CHUNK] contiguous chunk blocks for single-DMA
