@@ -54,7 +54,12 @@ class EngineConfig:
     focus_distance: float = 3.0
     use_envmap: bool = True
     gaussian_sh_degree: int = 3
-    denoise: bool = False          # à-trous wavelet pass on the frame
+    denoise: bool = False          # denoiser pass on the finished frame
+    # "cnn" = learned residual CNN (denoise_cnn.py, the analogue of the
+    # reference's OptiX AI denoiser pass, hybridTracer.cpp:503), falling
+    # back to "atrous" when the committed weights are absent; "atrous" =
+    # the edge-avoiding wavelet filter unconditionally
+    denoiser: str = "cnn"
 
 
 class EnvironmentMap:
@@ -359,9 +364,14 @@ class Engine3DGRUT:
         for img in self.render_progressive(cam, key=key):
             pass
         if self.config.denoise:
-            from .denoise import atrous_denoise
-            img = np.asarray(jnp.clip(
-                atrous_denoise(jnp.asarray(img)), 0.0, 1.0))
+            if self.config.denoiser == "cnn":
+                from .denoise_cnn import denoise_frame
+                img = np.asarray(jnp.clip(
+                    denoise_frame(jnp.asarray(img)), 0.0, 1.0))
+            else:
+                from .denoise import atrous_denoise
+                img = np.asarray(jnp.clip(
+                    atrous_denoise(jnp.asarray(img)), 0.0, 1.0))
         return img
 
     def render_fisheye(self, c2w: np.ndarray, fov: float,
