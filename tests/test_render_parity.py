@@ -359,3 +359,51 @@ class TestAlignedSegments:
                          weight_telemetry=True)
         np.testing.assert_allclose(ali["particle_wmax"],
                                    raw["particle_wmax"], atol=1e-6)
+
+
+class TestSkipDeadGuards:
+    """All-dead chunk-visit skip guards (round 5): bit-identical A/B.
+
+    Oracle provenance: pinned knob A/B — both sides explicit, never the
+    RasterConfig default (PARITY_ORACLES.md rule).
+    """
+
+    def test_sorted_forward_identical(self):
+        cam, model = make_test_scene(n=96, seed=2, res=(64, 48))
+        base = RasterConfig(max_pairs=1 << 14, sorted_compositing=True,
+                            sort_window=16, kernel_degree=4,
+                            min_transmittance=1e-3)
+        on = render_gut(cam, UT, base.replace(sort_skip_dead=True), model,
+                        sh_degree=2, interpret=True)
+        off = render_gut(cam, UT, base.replace(sort_skip_dead=False),
+                         model, sh_degree=2, interpret=True)
+        for k in ("pred_features", "pred_opacity", "pred_dist"):
+            np.testing.assert_array_equal(np.asarray(on[k]),
+                                          np.asarray(off[k]), err_msg=k)
+
+    @pytest.mark.parametrize("sorted_mode", [False, True])
+    def test_backward_identical(self, sorted_mode):
+        cam, model = make_test_scene(n=48, seed=5, res=(32, 32))
+        target = jnp.zeros((32, 32, 3))
+        base = RasterConfig(max_pairs=1 << 14,
+                            sorted_compositing=sorted_mode,
+                            sort_window=16 if sorted_mode else 256)
+
+        def grads(rc):
+            def loss(params):
+                m = model.replace(params=params)
+                out = render_gut(cam, UT, rc, m, sh_degree=1,
+                                 interpret=True)
+                return jnp.mean((out["pred_features"] - target) ** 2)
+            return jax.grad(loss)(model.params)
+
+        if sorted_mode:
+            g_on = grads(base.replace(sort_skip_dead=True))
+            g_off = grads(base.replace(sort_skip_dead=False))
+        else:
+            g_on = grads(base.replace(skip_dead_bwd=True))
+            g_off = grads(base.replace(skip_dead_bwd=False))
+        for name in ["positions", "scale", "density", "features_albedo"]:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(g_on, name)),
+                np.asarray(getattr(g_off, name)), err_msg=name)
