@@ -52,7 +52,20 @@ def main():
     ap.add_argument("--sh-degree", type=int, default=3)
     ap.add_argument("--batch", type=int, default=8,
                     help="views per dispatch for the batched serving path")
+    ap.add_argument("--mxu-mode", default="emu",
+                    choices=("emu", "fp32", "bf16"),
+                    help="MXU contraction mode (ops/pallas/mxu.py); bf16 "
+                         "is the fast-serving 1-pass mode — pair with "
+                         "--save-frame and compare against an emu run")
+    ap.add_argument("--budget", type=int, default=0,
+                    help="pin the calibrated budget (skips the probe "
+                         "pass — for A/B reruns against a prior "
+                         "calibration)")
+    ap.add_argument("--save-frame", default="",
+                    help="save the first batched-serve frame to this "
+                         ".npz for cross-process quality comparison")
     args = ap.parse_args()
+    os.environ["THREEDGRUT_MXU_F32MODE"] = args.mxu_mode
 
     import jax
     import jax.numpy as jnp
@@ -106,27 +119,38 @@ def main():
               f"{1 / dt:.1f} FPS")
         return dt
 
-    # --- calibration probe (the training-budget program doubles as the
-    # comparison measurement, so the probe costs nothing extra) ---
-    probe = make_render(args.train_budget)
-    totals = []
-    for cam in cams:
-        _, pairs, ovf = probe(cam)
-        totals.append(int(pairs) + int(ovf))  # == exact pre-drop total
-    worst = max(totals)
-    budget = max(SLAB, int(math.ceil(worst * args.margin / SLAB)) * SLAB)
-    print(f"checkpoint {args.checkpoint}: n={n}, orbit dist={dist:.2f}")
-    print(f"probe pair totals over {len(cams)} views: min={min(totals)} "
-          f"max={worst} -> calibrated budget {budget} "
-          f"({budget / args.train_budget:.0%} of training budget)")
-
-    dt_train = time_render(probe, args.train_budget, "training budget")
-    if budget >= args.train_budget:
-        print("calibrated budget >= training budget; nothing to gain")
-        dt_cal = dt_train
+    if args.budget > 0:
+        # pinned budget: skip the probe AND the per-budget single-frame
+        # timings (an A/B rerun only needs the batched-serve number)
+        budget = args.budget
+        print(f"checkpoint {args.checkpoint}: n={n}, orbit "
+              f"dist={dist:.2f}, pinned budget {budget}, "
+              f"mxu_mode={args.mxu_mode}")
+        dt_train = dt_cal = float("nan")
     else:
-        dt_cal = time_render(make_render(budget), budget,
-                             "calibrated budget")
+        # --- calibration probe (the training-budget program doubles as
+        # the comparison measurement, so the probe costs nothing extra)
+        probe = make_render(args.train_budget)
+        totals = []
+        for cam in cams:
+            _, pairs, ovf = probe(cam)
+            totals.append(int(pairs) + int(ovf))  # == exact pre-drop total
+        worst = max(totals)
+        budget = max(SLAB,
+                     int(math.ceil(worst * args.margin / SLAB)) * SLAB)
+        print(f"checkpoint {args.checkpoint}: n={n}, orbit dist={dist:.2f}")
+        print(f"probe pair totals over {len(cams)} views: "
+              f"min={min(totals)} max={worst} -> calibrated budget "
+              f"{budget} ({budget / args.train_budget:.0%} of training "
+              f"budget)")
+
+        dt_train = time_render(probe, args.train_budget, "training budget")
+        if budget >= args.train_budget:
+            print("calibrated budget >= training budget; nothing to gain")
+            dt_cal = dt_train
+        else:
+            dt_cal = time_render(make_render(budget), budget,
+                                 "calibrated budget")
 
     # --- batched fwd-only serving path (render/serve.py): B views per
     # dispatch, training-only machinery dropped at trace time ---
@@ -150,12 +174,21 @@ def main():
     print(f"  serving batch={bsz}: budget={budget} -> "
           f"{dt_serve * 1e3:.2f} ms/frame = {1 / dt_serve:.1f} FPS")
 
+    if args.save_frame:
+        np.savez_compressed(args.save_frame,
+                            frame=np.asarray(imgs[0]),
+                            mode=args.mxu_mode, budget=budget)
+        print(f"  saved first serve frame -> {args.save_frame}")
+
     print(json.dumps({
         "metric": f"3dgut_eval_fps_{args.width}px_calibrated",
         "value": round(1 / dt_serve, 2), "unit": "FPS",
         "n_particles": n, "budget": budget, "batch": bsz,
-        "fps_single_frame_calibrated": round(1 / dt_cal, 2),
-        "fps_at_training_budget": round(1 / dt_train, 2),
+        "mxu_mode": args.mxu_mode,
+        "fps_single_frame_calibrated":
+            None if math.isnan(dt_cal) else round(1 / dt_cal, 2),
+        "fps_at_training_budget":
+            None if math.isnan(dt_train) else round(1 / dt_train, 2),
     }))
     return 0
 

@@ -24,9 +24,17 @@ iota-derived selectors, small integers — because its ``lo`` part is
 identically zero. 2-3 fast passes beat the fp32 contract mode's ~6
 while keeping gradient cosines vs exact f32 at >0.99999.
 
-Trace-time knob: ``THREEDGRUT_MXU_F32MODE=fp32`` routes every call to
-``precision=HIGHEST`` instead (the exact-but-slow mode), for on-chip
-quality/perf A/Bs without code edits.
+Trace-time knob: ``THREEDGRUT_MXU_F32MODE`` selects the mode for every
+call without code edits:
+  * ``emu`` (default) — the hi/lo split emulation above.
+  * ``fp32`` — ``precision=HIGHEST`` (the exact-but-slow fp32 contract
+    mode; measured 18.9 -> 13.3 it/s on the headline bench).
+  * ``bf16`` — ONE default-precision pass (~2^-9 operand rounding,
+    the round-4 forward-parity class, ~34.6 dB vs the f32 oracle at
+    scene scale). NEVER a training mode (the round-4 regression);
+    offered as a fwd-only fast-SERVING mode, the analogue of the
+    reference's fp16 render buffers — pair with a measured quality
+    delta (scripts/eval_fps.py --mxu-mode bf16 --save-frame).
 """
 
 from __future__ import annotations
@@ -36,7 +44,9 @@ import os
 import jax
 import jax.numpy as jnp
 
-_FP32_MODE = os.environ.get("THREEDGRUT_MXU_F32MODE", "emu") == "fp32"
+_MODE = os.environ.get("THREEDGRUT_MXU_F32MODE", "emu")
+_FP32_MODE = _MODE == "fp32"
+_BF16_MODE = _MODE == "bf16"
 _COT_PASSES = int(os.environ.get("THREEDGRUT_MXU_COT_PASSES", "3"))
 
 
@@ -62,6 +72,8 @@ def dot_f32(a, b, dims, exact_lhs: bool = False, exact_rhs: bool = False):
         return jax.lax.dot_general(x, y, dims,
                                    preferred_element_type=jnp.float32)
 
+    if _BF16_MODE:
+        return d(a, b)
     if exact_lhs and exact_rhs:
         return d(a, b)
     if exact_lhs:
