@@ -153,7 +153,10 @@ class TestNHTRender:
         gr = np.asarray(jax.grad(loss_ref)(records))
         gk = np.asarray(jax.grad(loss_ker)(records))
         scale = np.abs(gr).max() + 1e-9
-        np.testing.assert_allclose(gk / scale, gr / scale, atol=1e-5)
+        # atol 3e-5: both sides are f32 chains over C*K=512 composite
+        # terms whose XLA:CPU reduction order varies with host thread
+        # availability — 1e-5 sat exactly on the flake boundary
+        np.testing.assert_allclose(gk / scale, gr / scale, atol=3e-5)
 
 
 class TestDecoder:

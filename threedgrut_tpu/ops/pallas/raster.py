@@ -2390,11 +2390,14 @@ def _pallas_forward(records, tile_start, tile_count, rays, cfg, interpret):
                                        jnp.float32),
         interpret=interpret,
         # the sorted forward's bitonic network + mask-replay unsort
-        # needs ~20 MB of scoped stack at W=64/CHUNK=256 - above the
-        # 16 MB default, well within the chip's 128 MB VMEM (the
-        # backward kernel below has the same carve-out)
+        # needs ~20 MB of scoped stack at W=64/CHUNK=256, and the NHT
+        # forward (record_dim 64, out_dim 32, in-kernel tetra interp)
+        # overflows the 16 MB default by ~0.4 MB at protocol scale -
+        # both are well within the chip's 128 MB VMEM (the backward
+        # kernel below has the same carve-out)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(32 << 20)) if cfg.sorted_compositing
+            vmem_limit_bytes=(32 << 20)) if (
+                cfg.sorted_compositing or cfg.feature_mode != "constant")
         else None,
     )(tile_start, tile_count, records, rays)
     return out[:num_tiles]
