@@ -2459,9 +2459,14 @@ def _pallas_backward(records, tile_start, tile_count, rays, fwd_out,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=(64 << 20) if (
-                cfg.sorted_compositing
-                and not (cfg.shared_origin
-                         and cfg.feature_mode == "constant"))
+                (cfg.sorted_compositing
+                 and not (cfg.shared_origin
+                          and cfg.feature_mode == "constant"))
+                # NHT backward (record_dim 64, out_dim 32, signed-
+                # feature pullback) overflows 32 MB by ~0.4 MB at
+                # protocol scale — same carve-out class as the vjp'd
+                # sorted path
+                or cfg.feature_mode != "constant")
             # strip blocks (3x [S,256,8] double-buffered) + loop temps
             # overflow the 16 MB default scoped-vmem limit slightly
             else (32 << 20)),
