@@ -47,7 +47,13 @@ import jax.numpy as jnp
 _MODE = os.environ.get("THREEDGRUT_MXU_F32MODE", "emu")
 _FP32_MODE = _MODE == "fp32"
 _BF16_MODE = _MODE == "bf16"
-_COT_PASSES = int(os.environ.get("THREEDGRUT_MXU_COT_PASSES", "3"))
+# Default 1 (inexact adjoint) since round 5: the backward-only
+# contractions run ONE bf16 pass. Validated on chip beyond the grad
+# cosine (>= 0.9999999 on all 6 leaves, tests/tpu_battery.py cot): an
+# 8k-step MCMC protocol at cot1 matched the exact-adjoint run's
+# val PSNR to 0.04 dB (34.43 vs 34.39, runs/conv_mcmc_cot1_8k.log).
+# Set THREEDGRUT_MXU_COT_PASSES=3 for the exact adjoint.
+_COT_PASSES = int(os.environ.get("THREEDGRUT_MXU_COT_PASSES", "1"))
 
 
 def _hi_lo(x):
