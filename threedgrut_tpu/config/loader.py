@@ -378,6 +378,10 @@ def to_trainer_config(conf: ConfigNode):
         increase_step=prog.get("increase_step", 1),
         val_frequency=conf.get("val_frequency", 5000),
         seed=conf.get("seed_initialization", 42),
+        nht_color_refine_steps=conf.get("model", {}).get(
+            "nht_decoder", {}).get("color_refine_steps", 3000),
+        nht_warmup_steps=conf.get("model", {}).get(
+            "nht_decoder", {}).get("warmup_steps", 0),
         print_stats=conf.get("model", {}).get("print_stats", False),
         post_processing=conf.get("post_processing", {}).get("method"),
         ppisp_use_controller=conf.get("post_processing", {}).get(

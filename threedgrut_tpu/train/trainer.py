@@ -121,6 +121,16 @@ class TrainerConfig:
     auto_max_pairs: bool = True
     max_pairs_headroom: float = 1.3
     max_pairs_calibrate_every: int = 500
+    # NHT decoder phases. color-refine freezes gaussians for the LAST
+    # nht_color_refine_steps (reference nht_decoder.color_refine_steps).
+    # nht_warmup_steps freezes them for the FIRST N steps — a TPU-recipe
+    # addition (no reference analogue): with a cold random decoder the
+    # image gradient reaching gaussian opacity is ~75x weaker than the
+    # SH path's (round-5 probe), so the densify pressure razes the cloud
+    # before the decoder couples latents to colors; a short decoder-only
+    # phase bootstraps the coupling first.
+    nht_color_refine_steps: int = 3000
+    nht_warmup_steps: int = 0
     # learned post-processing (models/post_processing.py):
     # None | "linear-to-srgb" | "ppisp"
     post_processing: Optional[str] = None
@@ -350,7 +360,9 @@ class Trainer:
         if self.decoder is None:
             return False
         step = self.global_step if step is None else step
-        refine_steps = 3000
+        if step < self.conf.nht_warmup_steps:
+            return True  # decoder-warmup phase: same freeze as refine
+        refine_steps = self.conf.nht_color_refine_steps
         return step >= max(self.conf.n_iterations - refine_steps, 0)
 
     # --- pair-budget auto-calibration -----------------------------------
@@ -1019,9 +1031,12 @@ class Trainer:
         if self.decoder is not None:
             # EMA fusion flag and the color-refine lr freeze are static
             # per group program - break at their activation boundaries
-            refine_at = max(conf.n_iterations - 3000, 0)
+            # (warmup exit is a boundary of the same freeze mechanism)
+            refine_at = max(conf.n_iterations - conf.nht_color_refine_steps,
+                            0)
             if step in (self.decoder.ema_start_step, refine_at,
-                        max(refine_at - 1, 0)):
+                        max(refine_at - 1, 0), conf.nht_warmup_steps,
+                        max(conf.nht_warmup_steps - 1, 0)):
                 return True
         return False
 
