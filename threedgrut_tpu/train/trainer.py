@@ -348,11 +348,15 @@ class Trainer:
                 0.00068, 0.00068 * 0.1, oc.features_max_steps)(step)
         if self.ppisp_params is not None:
             lrs["ppisp"] = self.conf.ppisp_lr
-        # color-refine phase: freeze gaussians, train only the decoder
-        # (trainer.py:1126-1130 / nht_decoder.color_refine_steps)
+        # color-refine phase: freeze the GEOMETRY groups only — the
+        # reference freezes exactly {positions, scale, rotation,
+        # density} (trainer.py:95 _color_refine_frozen_param_names);
+        # the NHT latents keep training alongside the decoder. (Round-5
+        # fix: the first cut froze the latents too, which turns both
+        # refine and warmup into decoder-only fits.)
         if self._in_color_refine(step):
-            for k in list(lrs):
-                if k not in ("nht_decoder", "ppisp"):
+            for k in ("positions", "scale", "rotation", "density"):
+                if k in lrs:
                     lrs[k] = 0.0
         return lrs
 
